@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship KG-construction pipeline (corpus -> mock-LLM
+  extraction -> gazetteer linking -> triple table) at sf0.001 scale.
+- ``queries()``: operator registry (SURVEY.md §2) over the driver's parquet
+  tables, plus KG-pipeline queries over the deterministic synthetic corpus.
+- ``oracle_sql()``: DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +12,25 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bioie_llm_spark import queries as Q
+from bioie_llm_spark.datagen.corpus import CorpusSpec
+from bioie_llm_spark.pipeline import build_triples
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full triple-extraction pipeline at smoke scale; returns the
+    linked, deduped (subj, pred, obj) triple table."""
+    stages = build_triples(spark, CorpusSpec.for_scale(0.001))
+    return stages["triples"].select(
+        "subj", "pred", "obj", "n_sources", "source_sha256"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.all_oracles()

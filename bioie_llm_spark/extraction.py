@@ -1,0 +1,127 @@
+"""Mock-LLM triple-extraction operator: the engine's one irreducible
+black-box, expressed as ``mapInPandas`` (SURVEY.md §2.8).
+
+The reference runs batched ``model.generate`` over prompt micro-batches
+(/root/reference/src/data_processors/base_processor.py:121-207); here each
+Arrow batch IS the prompt micro-batch and the "model" is a deterministic
+parser over ``content`` with a hash-seeded noise knob:
+
+- *miss*: a planted fact is dropped with probability miss_per_mille/1000
+  (recall noise, like a model failing to recall an interactor);
+- *hallucination*: a spurious triple is emitted with probability
+  hallu_per_mille/1000 — half with an out-of-gazetteer entity (killed later
+  by entity linking, like `clean_response` killing non-gold mentions), half
+  with a real-but-wrong self-loop that survives linking (precision noise).
+
+All noise is keyed on md5(subj|pred|obj) — deterministic at any parallelism
+and across runs, so sf0.001 and sf0.1 runs are exactly reproducible
+(reference pins RANDOM_SEED=42 for the same reason, base_processor.py:58-59).
+
+Scale notes: the UDF is Arrow-batched (no per-row Python round trips across
+the JVM boundary); regexes are compiled once per batch iterator, and
+``pandas.Series.str.findall`` runs the scan in C. sha256(content) is computed
+JVM-side (``F.sha2``) *before* the UDF and carried through — the per-row
+invariant required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .datagen.corpus import INDRA_VERBS, PRED_HAS_GENE, PRED_INTERACTS
+
+EXTRACT_SCHEMA = (
+    "repo string, path string, source_sha256 string, "
+    "subj string, pred string, obj string"
+)
+
+_PPI_RE = re.compile(r"(\S+) interacts with (\S+)\.")
+_KEGG_RE = re.compile(r"Pathway (\S+) includes gene (\S+)\.")
+_INDRA_RE = re.compile(
+    r"(\S+) (" + "|".join(sorted(INDRA_VERBS)) + r") (\S+)\."
+)
+
+
+def _noise_bucket(subj: str, pred: str, obj: str) -> int:
+    """Deterministic uniform bucket in [0, 1000) for a fact."""
+    d = hashlib.md5(f"{subj}|{pred}|{obj}".encode()).digest()
+    return int.from_bytes(d[:4], "big") % 1000
+
+
+def extract_triples(
+    corpus: DataFrame, miss_per_mille: int = 20, hallu_per_mille: int = 10
+) -> DataFrame:
+    """corpus(repo, path, commit, lang, content) -> raw triple stream
+    (repo, path, source_sha256, subj, pred, obj). Unlinked, undeduped —
+    linking and canonicalization are downstream operators."""
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list[tuple] = []
+            for repo, path, sha, content in zip(
+                pdf["repo"], pdf["path"], pdf["source_sha256"], pdf["content"]
+            ):
+                triples: list[tuple[str, str, str]] = []
+                for s, o in _PPI_RE.findall(content):
+                    triples.append((s, PRED_INTERACTS, o))
+                for s, o in _KEGG_RE.findall(content):
+                    triples.append((s, PRED_HAS_GENE, o))
+                for s, verb, o in _INDRA_RE.findall(content):
+                    triples.append((s, INDRA_VERBS[verb], o))
+                for s, p, o in triples:
+                    b = _noise_bucket(s, p, o)
+                    if b < miss_per_mille:
+                        continue  # model "forgot" this fact
+                    out_rows.append((repo, path, sha, s, p, o))
+                    if b >= 990 and (990 + hallu_per_mille) > b:
+                        if b % 2 == 0:
+                            # out-of-gazetteer hallucination: linking kills it
+                            out_rows.append((repo, path, sha, s + "_GHOST", p, o))
+                        else:
+                            # in-gazetteer wrong fact: survives linking
+                            out_rows.append((repo, path, sha, s, p, s))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["repo", "path", "source_sha256", "subj", "pred", "obj"],
+            )
+
+    with_sha = corpus.withColumn("source_sha256", F.sha2(F.col("content"), 256))
+    return with_sha.select(
+        "repo", "path", "source_sha256", "content"
+    ).mapInPandas(infer, EXTRACT_SCHEMA)
+
+
+def link_entities(
+    triples: DataFrame, gazetteer: DataFrame, keep_unlinked: bool = False
+) -> DataFrame:
+    """Dictionary-backed entity linking via two broadcast hash joins —
+    the Spark generalization of the reference's id->name dict lookups
+    (string_reader.py:109-110, J1 in SURVEY.md §2.3).
+
+    gazetteer: (alias, canonical, entity_type); broadcast-sized by design.
+    Returns triples with subj/obj replaced by canonical ids; rows whose
+    subj or obj is not in the gazetteer are dropped (hallucination filter)
+    unless keep_unlinked.
+    """
+    gaz_s = F.broadcast(
+        gazetteer.select(F.col("alias").alias("subj"), F.col("canonical").alias("subj_canon"))
+    )
+    gaz_o = F.broadcast(
+        gazetteer.select(F.col("alias").alias("obj"), F.col("canonical").alias("obj_canon"))
+    )
+    how = "left" if keep_unlinked else "inner"
+    linked = triples.join(gaz_s, "subj", how).join(gaz_o, "obj", how)
+    return linked.select(
+        "repo",
+        "path",
+        "source_sha256",
+        F.coalesce("subj_canon", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_canon", "obj").alias("obj"),
+    )

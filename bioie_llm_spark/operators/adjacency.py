@@ -1,0 +1,82 @@
+"""Graph-shaping aggregates: symmetric adjacency & grouping (SURVEY.md
+§2.4 A1/A2, §2.3 J3/J4).
+
+The reference builds its PPI adjacency with a Python dict loop over 11.9M
+directed pairs in RAM (string_reader.py:112-120, string_processor.py:168) —
+the exact thing that OOMs at 100 TB. Here it is one union + one hash
+aggregate; Spark's partial (map-side) aggregation keeps the shuffle at
+O(distinct keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetric_adjacency(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """A1: undirected edge list -> (node, interactors array<string>), deduped
+    and canonically sorted (the reference notes list order affects model
+    inference, string_processor.py:86 — array_sort pins it)."""
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    return sym.groupBy("node").agg(
+        F.array_sort(F.collect_set("nbr")).alias("interactors")
+    )
+
+
+def pair_explode(adjacency: DataFrame) -> DataFrame:
+    """EP2 prep: adjacency -> directed (subj, obj) pair set
+    (string_processor.py:169-173)."""
+    return adjacency.select(
+        F.col("node").alias("subj"), F.explode("interactors").alias("obj")
+    )
+
+
+def anti_join_pairs(pool: DataFrame, exclude: DataFrame, on: list[str]) -> DataFrame:
+    """J3: remove few-shot exemplars (or any exclusion set) from an eval
+    pool — `left_anti` replaces the reference's `not in set` filters
+    (string_processor.py:249-250)."""
+    return pool.join(exclude.select(on), on, "left_anti")
+
+
+def negative_pairs(
+    nodes: DataFrame, positives: DataFrame, n: int, node_col: str = "node", seed: int = 42
+) -> DataFrame:
+    """J4 at scale: sample-then-anti-join negative generation. NEVER the full
+    cartesian (the reference's commented-out combinations() fallback,
+    string_processor.py:158-163): draw ~4n candidate pairs from the hashed
+    node id space, anti-join the positive set, take n deterministic."""
+    n_nodes = nodes.count()
+    n_draw = max(4 * n, 64)
+    idx = nodes.select(F.col(node_col).alias("name")).withColumn(
+        "rid", F.row_number().over(Window.orderBy("name")) - 1
+    )
+    cand = (
+        nodes.sparkSession.range(n_draw)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_nodes)).alias("ia"),
+            F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n_nodes)).alias("ib"),
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select(F.least("ia", "ib").alias("ia"), F.greatest("ia", "ib").alias("ib"))
+        .distinct()
+    )
+    named = (
+        cand.join(F.broadcast(idx.withColumnRenamed("rid", "ia").withColumnRenamed("name", "subj")), "ia")
+        .join(F.broadcast(idx.withColumnRenamed("rid", "ib").withColumnRenamed("name", "obj")), "ib")
+        .select("subj", "obj")
+    )
+    pos_sym = positives.select("subj", "obj").unionByName(
+        positives.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    )
+    neg = named.join(pos_sym, ["subj", "obj"], "left_anti")
+    return (
+        neg.withColumn("__hk", F.md5(F.concat_ws("|", "subj", "obj", F.lit(str(seed)))))
+        .orderBy("__hk")
+        .limit(n)
+        .drop("__hk")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing stands in for a multi-executor cluster; every setting
+here is chosen to survive a 1000-executor / 100 TB deployment:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  the engine's answer to hot repos / hot predicates (SURVEY.md §4).
+- Arrow on, with a bounded batch size so the mock-LLM ``mapInPandas``
+  operator sees GPU-sized micro-batches (reference batches 4-64 prompts
+  per step, /root/reference/src/run_model.py:403-410).
+- shuffle.partitions sized to cores locally; on a real cluster this is
+  overridden by AQE's coalescing from a higher initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH_ROWS = 256  # prompt micro-batch per Arrow chunk inside mapInPandas
+
+
+def get_spark(
+    cores: int | str = "*",
+    app_name: str = "bioie_llm_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` maps to ``local[N]``; bench runs this at two parallelism
+    levels (local[8] vs local[32]) as the sandbox stand-in for N vs 4N
+    executors.
+    """
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(8, int(cores) * 2)
+        except (TypeError, ValueError):
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,84 @@
+"""Checkpoint-resume staging + per-partition lineage (north_rule).
+
+The reference's resume story is file-level memoization: convert-once guards
+(string_reader.py:69-73, S11) and pickle caches keyed by shot count
+(string_processor.py:233-242, S9). The engine generalizes both into
+snapshot-keyed Parquet stage materialization:
+
+- ``materialize(df, root, stage, snapshot)`` writes
+  ``{root}/{stage}/snapshot={snapshot}`` exactly once; a restart that finds
+  the stage's ``_SUCCESS`` marker reads it back instead of recomputing —
+  checkpoint-resume per snapshot, stage-granular.
+- every materialization also appends per-partition lineage rows
+  (snapshot, stage, partition_id, n_rows, content_hash) under
+  ``{root}/_lineage`` — the audit trail that lets an operator prove which
+  partitions of which snapshot produced which triples.
+
+The content hash is ``bit_xor(xxhash64(all columns))`` — order-insensitive,
+so it is stable no matter how rows land in partitions, and cheap (one
+map-side aggregate over data that is already being written).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "snapshot string, stage string, partition_id int, n_rows long, content_hash long"
+)
+
+
+def stage_path(root: str, stage: str, snapshot: str) -> str:
+    return os.path.join(root, stage, f"snapshot={snapshot}")
+
+
+def is_materialized(root: str, stage: str, snapshot: str) -> bool:
+    return os.path.exists(os.path.join(stage_path(root, stage, snapshot), "_SUCCESS"))
+
+
+def lineage_of(df: DataFrame, stage: str, snapshot: str) -> DataFrame:
+    cols = [F.col(c).cast("string") for c in df.columns]
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor(F.xxhash64(*cols)).alias("content_hash"),
+        )
+        .select(
+            F.lit(snapshot).alias("snapshot"),
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "n_rows",
+            "content_hash",
+        )
+    )
+
+
+def materialize(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    snapshot: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Write-once stage checkpoint; returns the (re)read DataFrame so
+    downstream stages consume the materialized copy (cuts lineage and makes
+    restarts O(remaining stages))."""
+    spark = df.sparkSession
+    path = stage_path(root, stage, snapshot)
+    if not is_materialized(root, stage, snapshot):
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        lineage_of(spark.read.parquet(path), stage, snapshot).write.mode("append").parquet(
+            os.path.join(root, "_lineage")
+        )
+    return spark.read.parquet(path)
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, "_lineage"))

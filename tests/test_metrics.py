@@ -1,0 +1,54 @@
+"""A5/A6/A9/A10 metric aggregates vs hand-computed expectations
+(spec: /root/reference/src/evaluators/evaluator.py:10-31)."""
+
+import math
+
+from bioie_llm_spark.operators.metrics import (
+    classification_metrics,
+    confusion_matrix,
+    consensus,
+    full_matches,
+)
+
+# (pred, true) pairs: labels a/b.
+# per-class: a: tp=2 fp=1 fn=1 -> P=2/3 R=2/3 F1=2/3
+#            b: tp=1 fp=1 fn=1 -> P=1/2 R=1/2 F1=1/2
+# micro: tp=3 fp=2 fn=2 -> P=R=F1=3/5; accuracy=3/5; macro=(2/3+1/2)/2
+PAIRS = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+
+def test_classification_metrics(spark):
+    df = spark.createDataFrame(PAIRS, "pred string, true string")
+    m = classification_metrics(df).first()
+    assert m["n"] == 5
+    assert math.isclose(m["accuracy"], 0.6)
+    assert math.isclose(m["micro_f1"], 0.6)
+    assert math.isclose(m["macro_f1"], (2 / 3 + 1 / 2) / 2)
+
+
+def test_full_matches(spark):
+    rows = [
+        ("s1", "x", "x"), ("s1", "y", "y"),        # full match
+        ("s2", "x", "x"), ("s2", "y", "z"),        # not
+        ("s3", "q", "q"),                           # full match
+    ]
+    df = spark.createDataFrame(rows, "src string, pred string, true string")
+    r = full_matches(df).first()
+    assert r["full_match_count"] == 2 and r["query_count"] == 3
+
+
+def test_consensus(spark):
+    rows = [
+        ("s1", "yes", "yes"), ("s1", "yes", "yes"),   # agree, correct
+        ("s2", "yes", "no"), ("s2", "no", "no"),      # disagree -> dropped
+        ("s3", "no", "yes"), ("s3", "no", "yes"),     # agree, wrong
+    ]
+    df = spark.createDataFrame(rows, "src string, pred string, true string")
+    got = {r["src"]: r["correct"] for r in consensus(df, n_models=2).collect()}
+    assert got == {"s1": True, "s3": False}
+
+
+def test_confusion_matrix(spark):
+    df = spark.createDataFrame(PAIRS, "pred string, true string")
+    cm = {(r["true"], r["pred"]): r["n"] for r in confusion_matrix(df).collect()}
+    assert cm == {("a", "a"): 2, ("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
