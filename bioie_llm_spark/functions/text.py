@@ -1,0 +1,107 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Catalyst expressions (whole-stage codegen; DuckDB-oracle-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalized_text
+
+# tiny marker-word sets per language (deterministic heuristic; the corpus
+# is synthetic word salad, so the value is the operator shape, not NLP)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "la", "y", "es"],
+    "fr": ["le", "les", "et", "est"],
+    "zh": ["的", "是", "了"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of raw text (empty-token-free)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-approximate token count: word-piece regex splits on word
+    boundaries, digits, and punctuation runs (a cheap stand-in for a real
+    tokenizer's token count; deterministic and JVM-side)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    # long words cost extra tokens (~1 per 4 chars beyond the first 4)
+    extra = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.floor(F.greatest((F.length(p) - 1) / 4, F.lit(0))).cast("int"),
+    )
+    return F.size(pieces) + extra
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    n_punct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs, typical
+    word lengths, some stopwords, low punctuation noise. Deterministic
+    formula; thresholding it yields a quality filter."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    wl = mean_word_len(col)
+    word_len_term = F.lit(1.0) - F.least(F.abs(wl - 5.0) / F.lit(5.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return F.round(
+        0.3 * length_term + 0.3 * word_len_term + 0.2 * stop_term + 0.2 * punct_term, 4
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Marker-word-ratio language classifier: argmax over per-language
+    marker hit counts; 'und' (undetermined) when nothing hits."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct: max by hits, ties -> lexicographically LAST lang;
+    # invert lang ordering trick avoided — ties broken by sorted-lang order
+    # via reverse iteration (first wins on >=).
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling-hash-style document fingerprint: md5 of the normalized
+    content (engine-portable; equals DuckDB's md5 of same normalization)."""
+    return F.md5(normalized_text(col))

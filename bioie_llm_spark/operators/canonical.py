@@ -1,0 +1,161 @@
+"""Entity canonicalization (north_star stage 3): normalized-name keys,
+string-similarity (Jaccard) candidate pairs, and connected-components
+clustering — all as DataFrame ops, no GraphFrames dependency.
+
+The reference never canonicalizes (its gazetteers are already canonical);
+this layer is what makes the engine usable on open-world corpora where the
+same entity surfaces as `PSD-95` / `psd95` / `PSD 95`.
+
+Scale design:
+- candidate generation is BLOCKED (normalized-name key, then char-n-gram
+  inverted index) — never an all-pairs cross join;
+- connected components run as iterative small-label propagation over the
+  edge list: each round is one shuffle on `node`; components here are
+  shallow alias clusters, so rounds ~ O(log(diameter)) with early exit;
+  each round is localCheckpoint'ed to cut lineage growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_name(col: Column) -> Column:
+    """Canonical string key: uppercase, strip all non-alphanumerics
+    (`PSD-95`, `psd 95`, `Psd_95` -> `PSD95`)."""
+    return F.upper(F.regexp_replace(col, "[^a-zA-Z0-9]", ""))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized name (padded variant
+    unnecessary for blocking). Pure expressions: sequence + transform."""
+    norm = normalize_name(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def jaccard_pairs(
+    names: DataFrame, name_col: str = "name", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Candidate near-duplicate name pairs with char-n-gram Jaccard >=
+    threshold. Inverted-index blocking: explode n-grams, self-join on the
+    gram (equi-join -> shuffle on gram key, skew-safe under AQE), count
+    shared grams per pair, then Jaccard = shared / (|A| + |B| - shared).
+    Never materializes the cartesian product."""
+    grams = names.select(
+        F.col(name_col).alias("name"), char_ngrams(F.col(name_col), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = grams.select("name", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("name").alias("name_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(
+        F.col("name").alias("name_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared.withColumn(
+        "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    ).filter(F.col("jaccard") >= threshold).select("name_a", "name_b", "jaccard")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list ->
+    (node, component) where component = lexicographic min node id of the
+    component. Driver-side loop of join+groupBy+min until fixpoint
+    (SURVEY.md §7 step 6); each iteration localCheckpoints to keep plans
+    flat. Convergence check is one count per round."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (
+                    F.col("component")
+                    != F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    )
+                ).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def canonicalize_entities(
+    names: DataFrame, name_col: str = "name", jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """name -> canonical_id mapping. Edges = (exact normalized-name match)
+    UNION (char-3-gram Jaccard >= threshold); canonical id = min name in the
+    connected component."""
+    named = names.select(F.col(name_col).alias("name")).distinct()
+    norm_edges = (
+        named.withColumn("norm", normalize_name(F.col("name")))
+        .groupBy("norm")
+        .agg(F.min("name").alias("rep"), F.collect_set("name").alias("members"))
+        .select(F.col("rep").alias("src"), F.explode("members").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    jac_edges = jaccard_pairs(named, "name", threshold=jaccard_threshold).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    edges = norm_edges.unionByName(jac_edges)
+    comps = connected_components(edges)
+    return (
+        named.join(comps, named.name == comps.node, "left")
+        .select("name", F.coalesce("component", F.col("name")).alias("canonical_id"))
+    )
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Remap subj/obj through the canonical-id mapping (broadcast — the
+    mapping is gazetteer-sized)."""
+    m_s = F.broadcast(
+        mapping.select(F.col("name").alias("subj"), F.col("canonical_id").alias("subj_c"))
+    )
+    m_o = F.broadcast(
+        mapping.select(F.col("name").alias("obj"), F.col("canonical_id").alias("obj_c"))
+    )
+    out_cols = [c for c in triples.columns if c not in ("subj", "obj")]
+    return (
+        triples.join(m_s, "subj", "left")
+        .join(m_o, "obj", "left")
+        .select(
+            F.coalesce("subj_c", F.col("subj")).alias("subj"),
+            F.coalesce("obj_c", F.col("obj")).alias("obj"),
+            *out_cols,
+        )
+    )

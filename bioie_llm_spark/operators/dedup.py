@@ -1,0 +1,184 @@
+"""Document deduplication suite — the operations a large-scale training-data
+pipeline runs over a `documents` table: exact dedup, MinHash+LSH, SimHash,
+and word-n-gram Jaccard. All pure DataFrame expressions (JVM-side, no Python
+in the hot path); all hash-deterministic (xxhash64/md5, never rand()).
+
+Scale design notes:
+- exact dedup: one hash-agg shuffle on the 128-bit content key;
+- MinHash/LSH: signature computation is a map (no shuffle); the only
+  shuffles are the band-bucket groupBys — candidate pairs are generated
+  per-bucket, never all-pairs. Hot buckets (boilerplate docs) are bounded
+  by `max_bucket` to keep the pair blow-up capped (silent-cap logged by
+  callers via the returned bucket sizes).
+- SimHash: one explode + one groupBy per doc; hamming-ball lookup is a
+  self-join on rotated prefix keys (not implemented here — near-dup via
+  LSH is the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — the canonical
+    content key for exact dedup / fingerprinting."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized content: one row per distinct
+    content, keeper = min id, n_dups = group size."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: for each of n_hashes seeded hash functions, the
+    min xxhash64 over the shingle set. array<long> of length n_hashes;
+    empty shingle sets get a sentinel signature."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))),
+                F.lit(-(2**62) + i),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidates.
+
+    shingle -> minhash signature -> split into `bands` bands of
+    n_hashes/bands rows -> band-hash bucket join -> candidate pairs with
+    estimated Jaccard = fraction of agreeing signature positions.
+    Returns (id_a, id_b, est_jaccard). Buckets larger than max_bucket are
+    dropped (boilerplate guard) — callers can count them for lineage.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # bound hot buckets
+    sized = banded.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
+        / F.size("sig_a"),
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted-index blocking
+    (explode shingles, equi-join on shingle, count shared). SQL-expressible
+    — the DuckDB oracle twin lives in queries.py."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token xxhash64; bit b of the fingerprint is
+    the sign of sum over tokens of ±1 by that token-hash bit. One explode +
+    one groupBy; returns (id, simhash bigint)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per = toks.groupBy("id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per.select("id", fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))

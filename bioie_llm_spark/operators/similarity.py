@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast (k queries x N corpus = map-side work, one
+  TakeOrdered per query via window). Dot products run as ``zip_with`` +
+  ``aggregate`` — JVM-side, no Python.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  (deterministic planes derived from md5, not RNG), candidates restricted
+  to same-bucket (multi-probe: exact bucket plus 1-bit-flip neighbors),
+  exact cosine re-rank within candidates. Sub-linear candidate set at the
+  cost of recall; recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine: (query_id, vec_id, cosine_sim,
+    rank). queries: (query_id, embedding) — broadcast-sized."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (t, p, d) from
+    md5(t|p|d) mapped to [-1, 1]. No RNG — stable across runs/engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{table}|{p}|{d}".encode()).digest()[:4], "big")
+            row.append(h / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bucket id over the given hyperplanes (int)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via standard multi-table hyperplane LSH: bucket the
+    corpus once per table (n_tables independent plane sets), probe each
+    query's bucket per table (+ 1-bit-flip neighbor buckets when
+    multiprobe), union candidates, exact cosine re-rank. The (table,
+    bucket) equi-join replaces the cross join — candidates shrink
+    ~2^n_planes-fold per table; more tables buy recall linearly in cost."""
+    c_base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = c_base.select(
+        "vec_id",
+        "cvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("cvec"), _hyperplanes(dim, n_planes, t)).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "cvec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    probe_structs = []
+    for t in range(n_tables):
+        qb = lsh_bucket(F.col("qvec"), _hyperplanes(dim, n_planes, t))
+        probe_structs.append(F.struct(F.lit(t).alias("table"), qb.alias("bucket")))
+        if multiprobe:
+            for i in range(n_planes):
+                probe_structs.append(
+                    F.struct(F.lit(t).alias("table"), qb.bitwiseXOR(F.lit(2**i)).alias("bucket"))
+                )
+    q = q_base.select(
+        "query_id", "qvec", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("query_id", "qvec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table", "bucket"])
+        .select("query_id", "vec_id", "qvec", "cvec")
+        .distinct()
+        .select(
+            "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )

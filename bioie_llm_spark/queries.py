@@ -472,6 +472,544 @@ def f2_choice_extract(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# A3 — dedup + canonical ordering (string_processor.py:86, 366, 375).
+@register(
+    "a3_dedup_canonical_order",
+    """
+    SELECT n.n_name AS nation,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a3_dedup_canonical_order(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"))
+    )
+
+
+# A7 — cross-model intersection (generative_task_evaluator.py:122-138):
+# users 'click'-matched by ALL 3 pseudo-models.
+@register(
+    "a7_intersection",
+    """
+    SELECT user_id FROM (
+      SELECT user_id, event_id % 3 AS model FROM events WHERE event_type = 'click'
+    ) GROUP BY user_id HAVING count(DISTINCT model) = 3
+    """,
+)
+def a7_intersection(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", (F.col("event_id") % 3).alias("model"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("model").alias("nm"))
+        .filter(F.col("nm") == 3)
+        .select("user_id")
+    )
+
+
+# A8 — unique-per-model items (generative_task_evaluator.py:167-173).
+@register(
+    "a8_unique_per_model",
+    """
+    SELECT user_id, min(model) AS only_model FROM (
+      SELECT user_id, event_id % 3 AS model FROM events WHERE event_type = 'click'
+    ) GROUP BY user_id HAVING count(DISTINCT model) = 1
+    """,
+)
+def a8_unique_per_model(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", (F.col("event_id") % 3).alias("model"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("model").alias("nm"), F.min("model").alias("only_model"))
+        .filter(F.col("nm") == 1)
+        .select("user_id", "only_model")
+    )
+
+
+# J4 — negative-pair generation at dim scale (string_processor.py:158-163):
+# nation pairs NOT sharing a region, deterministic top-50 by md5.
+@register(
+    "j4_negative_pairs",
+    """
+    WITH pos AS (
+      SELECT a.n_name AS subj, b.n_name AS obj
+      FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+      WHERE a.n_name < b.n_name
+    ),
+    cand AS (
+      SELECT a.n_name AS subj, b.n_name AS obj
+      FROM nation a CROSS JOIN nation b WHERE a.n_name < b.n_name
+    )
+    SELECT subj, obj FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.subj = cand.subj AND pos.obj = cand.obj)
+    ORDER BY md5(subj || '|' || obj || '|42') LIMIT 50
+    """,
+)
+def j4_negative_pairs(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("subj"), F.col("n_regionkey").alias("ra"))
+    b = n.select(F.col("n_name").alias("obj"), F.col("n_regionkey").alias("rb"))
+    cand = a.crossJoin(b).filter(F.col("subj") < F.col("obj"))
+    pos = cand.filter(F.col("ra") == F.col("rb")).select("subj", "obj")
+    neg = cand.select("subj", "obj").join(pos, ["subj", "obj"], "left_anti")
+    return (
+        neg.withColumn("__hk", F.md5(F.concat_ws("|", "subj", "obj", F.lit("42"))))
+        .orderBy("__hk")
+        .limit(50)
+        .drop("__hk")
+    )
+
+
+# T1 — deterministic global sort + rank (string_processor.py:152, 180).
+@register(
+    "t1_rank",
+    """
+    SELECT n_name, row_number() OVER (ORDER BY n_name) AS rank FROM nation
+    """,
+)
+def t1_rank(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    return n.select("n_name", F.row_number().over(Window.orderBy("n_name")).alias("rank"))
+
+
+# P5/P6 — fanout band filter (string_processor.py:95, 29).
+@register(
+    "p5_p6_fanout_filter",
+    """
+    WITH deg AS (
+      SELECT l_suppkey AS node, count(DISTINCT l_partkey) AS degree
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT node, degree FROM deg WHERE degree BETWEEN 10 AND 30
+    """,
+)
+def p5_p6_fanout_filter(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    deg = li.groupBy(F.col("l_suppkey").alias("node")).agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return deg.filter((F.col("degree") >= 10) & (F.col("degree") <= 30))
+
+
+# P7 — mention-uniqueness filter (indra_reader.py:72): docs where the word
+# 'data' occurs exactly once.
+@register(
+    "p7_unique_mention",
+    """
+    SELECT doc_id FROM documents WHERE len(string_split(text, 'data')) = 2
+    """,
+)
+def p7_unique_mention(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.size(F.split(F.col("text"), "data", -1)) == 2).select("doc_id")
+
+
+# F5 — prompt templating (galactica_prompter.py:36-57 and 10 siblings).
+@register(
+    "f5_prompt_template",
+    """
+    SELECT c_custkey,
+           'Question: Which proteins are related to ' || c_name || '?
+
+Answer:' AS prompt
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def f5_prompt_template(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        F.format_string(
+            "Question: Which proteins are related to %s?\n\nAnswer:", F.col("c_name")
+        ).alias("prompt"),
+    )
+
+
+# F8/F9/F10 — composite span key, case norm, non-alpha strip
+# (indra_processor.py:186; base_processor.py:1312-1345).
+@register(
+    "f8_string_fns",
+    """
+    SELECT event_id,
+           event_type || '_' || user_id || '_' || event_id AS span_key,
+           lower(event_type) AS label_lc,
+           regexp_replace(props, '[^a-zA-Z]', '', 'g') AS props_alpha
+    FROM events WHERE event_id < 500
+    """,
+)
+def f8_string_fns(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.concat_ws("_", "event_type", "user_id", "event_id").alias("span_key"),
+        F.lower("event_type").alias("label_lc"),
+        F.regexp_replace("props", "[^a-zA-Z]", "").alias("props_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text analysis
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "dd_exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS content_key,
+           min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact_dedup(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd_ngram_jaccard",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+             )) AS grams
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(shared / (na + nb - shared), 4) AS jaccard
+    FROM shared WHERE shared / (na + nb - shared) >= 0.5
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# MinHash LSH + SimHash: xxhash64-based -> no DuckDB twin (rows-only check).
+@register("dd_minhash_lsh", None)
+def dd_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+@register("dd_simhash", None)
+def dd_simhash(spark, sf_dir):
+    from .operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id,
+             list_dot_product(qvec, cvec)
+               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, q, k=10, query_id_col="query_id")
+
+
+@register("sim_lsh_ann", None)
+def sim_lsh_ann(spark, sf_dir):
+    from .operators.similarity import lsh_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, q, k=10, query_id_col="query_id")
+
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "txt_token_count",
+    f"""
+    WITH pieces AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS pc
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           cast(len(pc) + coalesce(list_aggregate(
+             list_transform(pc, p -> cast(floor(greatest(length(p) - 1, 0) / 4) AS INT)),
+             'sum'), 0) AS INT) AS n_bpe
+    FROM pieces
+    """,
+)
+def txt_token_count(spark, sf_dir):
+    from .functions.text import bpe_ish_token_count, token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    from .functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "txt_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS tk FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, 'de' AS lang,
+             len(list_filter(tk, t -> list_contains(['der','die','und','ist'], t))) AS hits FROM toks
+      UNION ALL
+      SELECT doc_id, 'en',
+             len(list_filter(tk, t -> list_contains(['the','a','of','and','is'], t))) FROM toks
+      UNION ALL
+      SELECT doc_id, 'es',
+             len(list_filter(tk, t -> list_contains(['el','la','y','es'], t))) FROM toks
+      UNION ALL
+      SELECT doc_id, 'fr',
+             len(list_filter(tk, t -> list_contains(['le','les','et','est'], t))) FROM toks
+      UNION ALL
+      SELECT doc_id, 'zh',
+             len(list_filter(tk, t -> list_contains(['的','是','了'], t))) FROM toks
+    ),
+    best AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred
+    FROM best WHERE rn = 1
+    """,
+)
+def txt_langid(spark, sf_dir):
+    from .functions.text import language_id
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization: char-3-gram Jaccard candidate pairs over part names.
+@register(
+    "can_jaccard_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey <= 400),
+    norm AS (
+      SELECT name, upper(regexp_replace(name, '[^a-zA-Z0-9]', '', 'g')) AS nn FROM names
+    ),
+    grams AS (
+      SELECT name,
+             list_distinct(list_transform(
+               range(1, greatest(length(nn) - 2, 1) + 1),
+               i -> substr(nn, i, 3))) AS g
+      FROM norm
+    ),
+    ex AS (SELECT name, len(g) AS n, unnest(g) AS gram FROM grams),
+    shared AS (
+      SELECT a.name AS name_a, b.name AS name_b, a.n AS na, b.n AS nb, count(*) AS shared
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.name < b.name
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT name_a, name_b, round(shared / (na + nb - shared), 4) AS jaccard
+    FROM shared WHERE shared / (na + nb - shared) >= 0.5
+    """,
+)
+def can_jaccard_names(spark, sf_dir):
+    from .operators.canonical import jaccard_pairs
+
+    names = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    return jaccard_pairs(names, "name", threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 4)
+    )
+
+
+# Connected components with a recursive-CTE oracle: graph = mod-compressed
+# part/supplier bipartite edges from high-quantity lineitems.
+_CC_EDGES_SQL = """
+      SELECT DISTINCT 'p' || (l_partkey % 211) AS src, 's' || (l_suppkey % 67) AS dst
+      FROM lineitem WHERE l_quantity >= 49
+"""
+
+
+@register(
+    "cc_components",
+    f"""
+    WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.node = s.a
+    )
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def cc_components(spark, sf_dir):
+    from .operators.canonical import connected_components
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(F.col("l_quantity") >= 49)
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey") % 211).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey") % 67).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# KG-construction pipeline queries over the deterministic synthetic corpus
+# (SURVEY.md §3; north_star dataflow). Not SQL-expressible against the
+# driver's tables -> rows-only checks. The pipeline is memoized per
+# (session, sf) so the driver's one-query-at-a-time loop doesn't rebuild it.
+_KG_CACHE: dict[tuple[int, float], dict] = {}
+
+
+def _kg_stages(spark: SparkSession, sf_dir: str) -> dict:
+    import re as _re
+
+    from .datagen.corpus import CorpusSpec
+    from .pipeline import build_triples
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    key = (id(spark), sf)
+    if key not in _KG_CACHE:
+        spec = CorpusSpec.for_scale(sf)
+        stages = build_triples(spark, spec)
+        stages["triples"] = stages["triples"].localCheckpoint()
+        _KG_CACHE[key] = stages
+    return _KG_CACHE[key]
+
+
+@register("kg_triples", None)
+def kg_triples(spark, sf_dir):
+    """Flagship output: the linked, deduped triple table."""
+    return _kg_stages(spark, sf_dir)["triples"].select(
+        "subj", "pred", "obj", "n_sources", "source_sha256"
+    )
+
+
+@register("kg_triple_pr", None)
+def kg_triple_pr(spark, sf_dir):
+    from .operators.metrics import triple_pr
+
+    s = _kg_stages(spark, sf_dir)
+    return triple_pr(s["triples"], s["facts"])
+
+
+@register("kg_entity_task", None)
+def kg_entity_task(spark, sf_dir):
+    from .pipeline import entity_task
+
+    s = _kg_stages(spark, sf_dir)
+    return entity_task(s["triples"], s["facts"], n_queries=50)["metrics"]
+
+
+@register("kg_relation_task", None)
+def kg_relation_task(spark, sf_dir):
+    from .pipeline import relation_task
+
+    s = _kg_stages(spark, sf_dir)
+    return relation_task(s["triples"], s["facts"], n_pairs=100)["metrics"]
+
+
+@register("kg_relation_type_task", None)
+def kg_relation_type_task(spark, sf_dir):
+    from .pipeline import relation_type_task
+
+    s = _kg_stages(spark, sf_dir)
+    return relation_type_task(s["triples"], s["facts"], n_per_class=30)["metrics"]
+
+
+@register("kg_canonical_map", None)
+def kg_canonical_map(spark, sf_dir):
+    """Canonicalization over all entity surface forms in the triple table."""
+    from .operators.canonical import canonicalize_entities
+
+    s = _kg_stages(spark, sf_dir)
+    t = s["triples"]
+    names = t.select(F.col("subj").alias("name")).unionByName(
+        t.select(F.col("obj").alias("name"))
+    ).distinct()
+    return canonicalize_entities(names)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,76 @@
+"""Dedup suite: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "The quick brown fox jumps over the lazy dog"),       # exact dup of 1
+    (3, "the QUICK brown fox... jumps over the lazy dog!"),   # normalized dup of 1
+    (4, "The quick brown fox leaps over the lazy dog"),       # near dup (1 word)
+    (5, "completely different content about spark engines"),
+    (6, "spark engines process completely different content"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = exact_dedup(_docs(spark))
+    groups = {r["keeper_id"]: r["n_dups"] for r in d.collect()}
+    assert groups[1] == 3  # 1, 2, 3 collapse after normalization
+    assert d.count() == 4
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    assert (1, 4) in got and got[(1, 4)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cands = minhash_lsh_candidates(_docs(spark), n_hashes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert got.get((1, 3)) == 1.0
+    # near-dup pair should surface with high estimated jaccard
+    assert (1, 4) in got
+    # unrelated docs must not pair
+    assert (1, 5) not in got and (1, 6) not in got
+
+
+def test_simhash_near_vs_far(spark):
+    fps = {r["id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    df = spark.createDataFrame(
+        [(fps[1], fps[4]), (fps[1], fps[5])], "a long, b long"
+    )
+    d_near, d_far = [
+        r["d"] for r in df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert fps[1] == fps[2] == fps[3]  # identical normalized content
+    assert d_near < d_far
+
+
+def test_minhash_deterministic(spark):
+    a = sorted(map(tuple, minhash_lsh_candidates(_docs(spark)).collect()))
+    b = sorted(map(tuple, minhash_lsh_candidates(_docs(spark).repartition(7)).collect()))
+    assert a == b

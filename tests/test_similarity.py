@@ -1,0 +1,54 @@
+"""Similarity search: brute-force cosine top-k + LSH ANN recall."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.operators.similarity import cosine, cosine_topk, lsh_ann_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(spark, n=5):
+    c = _corpus(spark)
+    return (
+        c.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(got[0], 1.0)
+    assert math.isclose(got[1], 0.0)
+    assert math.isclose(got[2], 1.0, rel_tol=1e-9)
+
+
+def test_cosine_topk_self_is_top1(spark):
+    out = cosine_topk(_corpus(spark), _queries(spark), k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    for qid, vid in top1.items():
+        assert qid == vid, "a vector's nearest neighbor must be itself"
+    assert out.groupBy("query_id").count().filter(F.col("count") != 5).count() == 0
+
+
+def test_lsh_ann_recall(spark):
+    """Multi-probe LSH must recover most of the exact top-10."""
+    exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
+    approx = lsh_ann_topk(_corpus(spark), _queries(spark), k=10, n_planes=6)
+    hits = exact.join(approx, ["query_id", "vec_id"], "inner").count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # self must still be found (same bucket trivially)
+    top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    for qid, vid in top1.items():
+        assert qid == vid

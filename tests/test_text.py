@@ -1,0 +1,48 @@
+"""Text-analysis functions: token counts, quality, language ID, fingerprint."""
+
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count(F.col("text"))) == 3
+    assert _one(spark, "   ", token_count(F.col("text"))) == 0
+
+
+def test_bpe_ish_token_count(spark):
+    n = _one(spark, "hello, world 42", bpe_ish_token_count(F.col("text")))
+    # pieces: hello , world 4 2 -> 5 + extra for 5-char words
+    assert n >= 5
+
+
+def test_quality_score_ranges(spark):
+    good = "the quick brown fox and the lazy dog walked over a hill of green grass " * 5
+    bad = "!!! ??? ### $$$ %%%"
+    q_good = _one(spark, good, quality_score(F.col("text")))
+    q_bad = _one(spark, bad, quality_score(F.col("text")))
+    assert 0.0 <= q_bad < q_good <= 1.0
+
+
+def test_language_id(spark):
+    assert _one(spark, "the cat and the dog is here", language_id(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze ist da", language_id(F.col("text"))) == "de"
+    assert _one(spark, "el perro y la casa es grande", language_id(F.col("text"))) == "es"
+    assert _one(spark, "zzz qqq xxx", language_id(F.col("text"))) == "und"
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello,   World!", fingerprint(F.col("text")))
+    b = _one(spark, "hello world", fingerprint(F.col("text")))
+    c = _one(spark, "goodbye world", fingerprint(F.col("text")))
+    assert a == b != c
