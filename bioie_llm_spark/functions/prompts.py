@@ -1,0 +1,83 @@
+"""Prompt-template registry (SURVEY.md §2.7 F5/F6/F7): per-(model, task)
+question/answer templates as Catalyst `format_string` expressions, plus the
+few-shot prefix builder.
+
+The reference ships ~11 prompter classes of lambda templates
+(src/prompters/*.py, e.g. galactica_prompter.py:36-57, llama2_prompter.py:
+35-67); here one registry keyed by (model, slot) with the same task slots:
+entity_q/entity_a, relation_q/relation_a, relation_type_q/relation_type_a.
+Few-shot prefixes are driver-side constants folded into a `lit()` column —
+query-constant, exactly like the reference's task_prompt
+(base_processor.py:74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# %s placeholders filled by format_string; answer slots end the exemplar.
+TEMPLATES: dict[str, dict[str, str]] = {
+    "galactica": {
+        "entity_q": "Question: Which proteins are related to %s?\n\nAnswer:",
+        "entity_a": " %s\n\n",
+        "relation_q": "Question: Do %s and %s interact with each other?\n\nAnswer:",
+        "relation_a": " %s\n\n",
+        "relation_type_q": "%s\n\nQuestion: What is the relation type between %s and %s in the sentence above? Choose one from %s.\n\nAnswer:",
+        "relation_type_a": " %s\n\n",
+    },
+    "llama2": {
+        "entity_q": "[INST] List proteins that interact with %s. [/INST]",
+        "entity_a": " %s </s>",
+        "relation_q": "[INST] Do %s and %s interact? Answer yes or no. [/INST]",
+        "relation_a": " %s </s>",
+        "relation_type_q": "[INST] %s\nWhat is the relation between %s and %s? Options: %s [/INST]",
+        "relation_type_a": " %s </s>",
+    },
+    "generic": {
+        "entity_q": "Which proteins are related to %s?\nAnswer:",
+        "entity_a": " %s\n",
+        "relation_q": "Do %s and %s interact (yes/no)?\nAnswer:",
+        "relation_a": " %s\n",
+        "relation_type_q": "%s\nRelation between %s and %s? One of: %s.\nAnswer:",
+        "relation_type_a": " %s\n",
+    },
+}
+
+
+def template(model: str, slot: str) -> str:
+    return TEMPLATES[model][slot]
+
+
+def render(model: str, slot: str, *args: Column) -> Column:
+    """Template -> format_string column (JVM-side, codegen'd)."""
+    return F.format_string(template(model, slot), *args)
+
+
+def choices_string(labels: list[str]) -> str:
+    """F7: the quoted multiple-choice list (indra_processor.py:50)."""
+    return ", ".join(f'"{x}"' for x in labels)
+
+
+def few_shot_prefix(
+    shots: DataFrame, model: str, q_slot: str, a_slot: str, q_cols: list[str], a_col: str
+) -> str:
+    """F6: fold <=~5 exemplar rows into one constant prefix string. The
+    shots frame is tiny (seeded-sampled upstream); collect is intentional
+    and bounded (reference interleaves exemplars the same way,
+    string_processor.py:84-86)."""
+    rows = shots.select(*q_cols, a_col).collect()
+    parts = []
+    for r in rows:
+        parts.append(template(model, q_slot) % tuple(r[c] for c in q_cols))
+        parts.append(template(model, a_slot) % (r[a_col],))
+    return "".join(parts)
+
+
+def build_prompts(
+    df: DataFrame, model: str, q_slot: str, q_cols: list[str], prefix: str = ""
+) -> DataFrame:
+    """Attach the final prompt column: constant few-shot prefix + rendered
+    per-row question."""
+    q = render(model, q_slot, *[F.col(c) for c in q_cols])
+    return df.withColumn("prompt", F.concat(F.lit(prefix), q))

@@ -38,6 +38,16 @@ def get_spark(
             shuffle_partitions = max(8, int(cores) * 2)
         except (TypeError, ValueError):
             shuffle_partitions = 32
+    # Local-mode Python workers inherit the driver PROCESS env, not driver
+    # sys.path — ensure they can import this package no matter the cwd the
+    # driver was launched from. (Cluster deploys ship package_zip() via
+    # spark-submit --py-files instead.)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -59,3 +69,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def package_zip() -> str:
+    """Zip this package for `spark-submit --py-files` / `addPyFile` —
+    the cluster-deploy path required by the north_rule. Returns the zip
+    path (cached in the system temp dir)."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "bioie_llm_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "bioie_llm_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Attach the package zip to a running session (addPyFile) so executors
+    can unpickle UDF closures that reference package modules."""
+    z = package_zip()
+    spark.sparkContext.addPyFile(z)
+    return z

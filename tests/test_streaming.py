@@ -1,0 +1,83 @@
+"""Structured Streaming: incremental extraction (exactly-once per file via
+stream checkpoint) and watermarked window aggregation."""
+
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.datagen.corpus import build_corpus, build_gazetteer
+from bioie_llm_spark.streaming.incremental import (
+    run_windowed_events_stream,
+    stateful_user_totals,
+    stream_extract_triples,
+    windowed_event_counts,
+)
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "sevents")
+    events.write.mode("overwrite").parquet(events_dir)
+    got = stateful_user_totals(spark, events_dir, str(tmp_path / "sckpt"))
+    expect = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    diff = got.join(
+        expect.withColumnRenamed("n_events", "ne").withColumnRenamed("total_value", "tv"),
+        "user_id",
+    ).filter((F.col("n_events") != F.col("ne")) | (F.abs(F.col("total_value") - F.col("tv")) > 1e-6))
+    assert got.count() == expect.count()
+    assert diff.count() == 0
+
+
+def test_incremental_extraction_resume(spark, tiny_spec, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    gaz = build_gazetteer(spark, tiny_spec)
+
+    corpus = build_corpus(spark, tiny_spec)
+    first, second = corpus.filter(F.col("path") < "src/file_3").cache(), corpus.filter(
+        F.col("path") >= "src/file_3"
+    ).cache()
+
+    # snapshot 1 arrives
+    first.write.mode("append").parquet(corpus_dir)
+    stream_extract_triples(spark, corpus_dir, gaz, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    # re-run with NO new data: checkpoint must prevent reprocessing
+    stream_extract_triples(spark, corpus_dir, gaz, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
+
+    # snapshot 2 arrives: only the delta is processed (append grows)
+    second.write.mode("append").parquet(corpus_dir)
+    stream_extract_triples(spark, corpus_dir, gaz, out_dir, ckpt)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n2 > n1
+
+    # incremental total == one-shot batch total over the same corpus
+    from bioie_llm_spark.extraction import extract_triples, link_entities
+
+    batch = link_entities(extract_triples(spark.read.parquet(corpus_dir)), gaz)
+    assert n2 == batch.count()
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events")  # file stream source needs a dir
+    events.write.mode("overwrite").parquet(events_dir)
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "wckpt")
+    run_windowed_events_stream(spark, events_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    expect = windowed_event_counts(events)
+    # append-mode emits only watermark-closed windows: got ⊆ expect, and the
+    # overlap must agree exactly
+    joined = got.join(
+        expect.withColumnRenamed("n", "n_b").withColumnRenamed("total_value", "tv_b"),
+        ["win_start", "win_end", "event_type"],
+        "inner",
+    )
+    assert joined.count() == got.count() > 0
+    assert joined.filter((F.col("n") != F.col("n_b")) | (F.col("total_value") != F.col("tv_b"))).count() == 0
