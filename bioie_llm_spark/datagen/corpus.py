@@ -86,20 +86,23 @@ def _pick(col, salt: int, n: int):
 
 def protein_name_col(idx_col):
     """Protein display name for index i: curated trap names first, then
-    generated `PR####X` symbols (suffix letter prevents prefix-substring
-    collisions between generated names)."""
+    generated `PR######X` symbols (suffix letter prevents prefix-substring
+    collisions between generated names). NOTE: Spark lpad TRUNCATES inputs
+    longer than the pad width — width 7 keeps names collision-free up to
+    10M entities (a truncation here once duplicated gazetteer aliases and
+    exploded the linking join 100x)."""
     traps = F.array(*[F.lit(t) for t in TRAP_NAMES])
     return F.when(
         idx_col < len(TRAP_NAMES), F.element_at(traps, idx_col.cast("int") + 1)
-    ).otherwise(F.concat(F.lit("PR"), F.lpad(idx_col.cast("string"), 4, "0"), F.lit("X")))
+    ).otherwise(F.concat(F.lit("PR"), F.lpad(idx_col.cast("string"), 7, "0"), F.lit("X")))
 
 
 def gene_name_col(idx_col):
-    return F.concat(F.lit("GEN"), F.lpad(idx_col.cast("string"), 4, "0"), F.lit("B"))
+    return F.concat(F.lit("GEN"), F.lpad(idx_col.cast("string"), 7, "0"), F.lit("B"))
 
 
 def pathway_name_col(idx_col):
-    return F.concat(F.lit("PWY_"), F.lpad(idx_col.cast("string"), 3, "0"))
+    return F.concat(F.lit("PWY_"), F.lpad(idx_col.cast("string"), 6, "0"))
 
 
 def build_gazetteer(spark: SparkSession, spec: CorpusSpec) -> DataFrame:

@@ -55,11 +55,23 @@ def _noise_bucket(subj: str, pred: str, obj: str) -> int:
 
 
 def extract_triples(
-    corpus: DataFrame, miss_per_mille: int = 20, hallu_per_mille: int = 10
+    corpus: DataFrame,
+    miss_per_mille: int = 20,
+    hallu_per_mille: int = 10,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """corpus(repo, path, commit, lang, content) -> raw triple stream
     (repo, path, source_sha256, subj, pred, obj). Unlinked, undeduped —
-    linking and canonicalization are downstream operators."""
+    linking and canonicalization are downstream operators.
+
+    ``target_partitions``: explicit repartition before the UDF so every
+    executor core gets prompt micro-batches — the reference tunes batch
+    size per task the same way (run_model.py:403-410). Essential when the
+    corpus arrives as few large files (one parquet file = one input split
+    = serial extraction no matter how many cores); a real Iceberg table
+    at 10^12 files brings its own splits, but hot small tables don't.
+    AQE never coalesces an explicit numbered repartition, so the fan-out
+    sticks."""
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,6 +103,8 @@ def extract_triples(
                 columns=["repo", "path", "source_sha256", "subj", "pred", "obj"],
             )
 
+    if target_partitions:
+        corpus = corpus.repartition(target_partitions)
     with_sha = corpus.withColumn("source_sha256", F.sha2(F.col("content"), 256))
     return with_sha.select(
         "repo", "path", "source_sha256", "content"
@@ -108,12 +122,18 @@ def link_entities(
     Returns triples with subj/obj replaced by canonical ids; rows whose
     subj or obj is not in the gazetteer are dropped (hallucination filter)
     unless keep_unlinked.
+
+    Aliases are deduped before joining: a duplicate alias key on the build
+    side multiplies the probe side (at 100 TB a 2x-duplicated gazetteer is
+    a 2x row explosion through BOTH joins) — dedup is one cheap hash-agg
+    over a dimension table.
     """
+    uniq = gazetteer.dropDuplicates(["alias"])
     gaz_s = F.broadcast(
-        gazetteer.select(F.col("alias").alias("subj"), F.col("canonical").alias("subj_canon"))
+        uniq.select(F.col("alias").alias("subj"), F.col("canonical").alias("subj_canon"))
     )
     gaz_o = F.broadcast(
-        gazetteer.select(F.col("alias").alias("obj"), F.col("canonical").alias("obj_canon"))
+        uniq.select(F.col("alias").alias("obj"), F.col("canonical").alias("obj_canon"))
     )
     how = "left" if keep_unlinked else "inner"
     linked = triples.join(gaz_s, "subj", how).join(gaz_o, "obj", how)

@@ -50,6 +50,18 @@ def test_gazetteer_traps_present(spark, tiny_spec):
     assert syn["alias"] == "SYN_" + syn["canonical"]
 
 
+def test_gazetteer_aliases_unique_at_scale(spark):
+    """Name generators must be collision-free at large entity counts
+    (regression: lpad truncation collided names for ids >= 10000 and
+    exploded the linking join 100x)."""
+    from bioie_llm_spark.datagen.corpus import CorpusSpec
+
+    spec = CorpusSpec(n_files=1, n_prot=25000, n_genes=15000, n_pathways=1500,
+                      n_edges=1, n_memberships=1, n_statements=1)
+    gaz = build_gazetteer(spark, spec)
+    assert gaz.count() == gaz.select("alias").distinct().count()
+
+
 def test_repo_skew(spark, tiny_spec):
     corpus = build_corpus(spark, tiny_spec)
     hot = corpus.filter(F.col("repo").startswith("org/hot-")).count()
