@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .datagen.corpus import (
     INDRA_VERBS,
+    PRED_HAS_GENE,
     PRED_INTERACTS,
     CorpusSpec,
     build_corpus,
@@ -202,6 +203,67 @@ def relation_type_task(
     }
 
 
+def kegg_entity_task(
+    triples: DataFrame,
+    gold_facts: DataFrame,
+    n_pathways: int = 50,
+    k: int = 10,
+) -> dict[str, DataFrame]:
+    """KEGG entity task (kegg_processor.py:73-133): top-N pathways (T3 rank
+    slice), gold = gene lists with alias arrays (D4/P3); the mock response
+    renders some genes by their `A1` alias (hash-keyed), the matcher accepts
+    ANY alias and projects back to the first/canonical alias (P4) before
+    sort_and_pad + metrics — the reference's alias semantics end-to-end."""
+    gold = (
+        gold_facts.filter(F.col("pred") == PRED_HAS_GENE)
+        .groupBy(F.col("subj").alias("pathway"))
+        .agg(F.array_sort(F.collect_set("obj")).alias("true_arr"))
+    )
+    top = gold.orderBy("pathway").limit(n_pathways)  # T3: deterministic rank slice
+    pred = (
+        triples.filter(F.col("pred") == PRED_HAS_GENE)
+        .groupBy(F.col("subj").alias("pathway"))
+        .agg(F.array_sort(F.collect_set("obj")).alias("pred_arr"))
+    )
+    joined = top.join(pred, "pathway", "left").withColumn(
+        "pred_arr", F.coalesce("pred_arr", F.array().cast("array<string>"))
+    )
+    # response renders ~1/3 of genes via their alias form (gene + 'A1')
+    rendered = F.transform(
+        "pred_arr",
+        lambda g: F.when(F.pmod(F.xxhash64(g, F.lit(3)), F.lit(3)) == 0, F.concat(g, F.lit("A1"))).otherwise(g),
+    )
+    joined = joined.withColumn(
+        "response",
+        F.concat(F.lit("Genes in this pathway: "), F.concat_ws(", ", rendered), F.lit(".")),
+    )
+    # gold alias dictionary: every gene matches as canonical OR canonical+'A1';
+    # matched aliases project back to the canonical (first-alias, P4)
+    flat_aliases = F.flatten(
+        F.transform("true_arr", lambda g: F.array(F.concat(g, F.lit("A1")), g))
+    )
+    matched_aliases = match_mentions_udf(F.col("response"), flat_aliases)
+    matched = joined.withColumn(
+        "matched",
+        F.array_distinct(
+            F.transform(matched_aliases, lambda m: F.regexp_replace(m, "A1$", ""))
+        ),
+    )
+    p_out, t_out = sort_and_pad(F.col("matched"), F.col("true_arr"), k)
+    aligned = matched.select(
+        F.col("pathway").alias("src"), p_out.alias("pred_k"), t_out.alias("true_k")
+    )
+    pairs = aligned.select(
+        "src", F.posexplode(F.arrays_zip("pred_k", "true_k")).alias("pos", "pt")
+    ).select("src", "pos", F.col("pt.pred_k").alias("pred"), F.col("pt.true_k").alias("true"))
+    return {
+        "aligned": aligned,
+        "pairs": pairs,
+        "metrics": classification_metrics(pairs),
+        "full_matches": full_matches(pairs),
+    }
+
+
 def run_end_to_end(
     spark: SparkSession,
     spec: CorpusSpec | None = None,
@@ -218,4 +280,5 @@ def run_end_to_end(
     out["entity"] = entity_task(triples, gold)
     out["relation"] = relation_task(triples, gold)
     out["relation_type"] = relation_type_task(triples, gold)
+    out["kegg_entity"] = kegg_entity_task(triples, gold)
     return out

@@ -933,6 +933,97 @@ def cc_components(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q1 — TPC-H-style pricing summary through the spark.sql API (Catalyst
+# produces the same plan as the DataFrame form; demonstrates the SQL
+# surface). Floats rounded for engine parity.
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+# T5 — deterministic shuffle as rank assignment (string_processor.py:59).
+@register(
+    "t5_seeded_shuffle",
+    """
+    SELECT s_suppkey,
+           row_number() OVER (ORDER BY md5(s_suppkey || '|42')) AS shuffle_pos
+    FROM supplier
+    """,
+)
+def t5_seeded_shuffle(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.concat_ws("|", "s_suppkey", F.lit("42")))))
+        .alias("shuffle_pos"),
+    )
+
+
+# U3 — labeled union of positive and negative pools (string_processor.py:307).
+@register(
+    "u3_union_pos_neg",
+    """
+    SELECT o_orderkey AS key, 'yes' AS label FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey AS key, 'no' AS label FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def u3_union_pos_neg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    pos = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key"), F.lit("yes").alias("label")
+    )
+    neg = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("key"), F.lit("no").alias("label")
+    )
+    return pos.unionByName(neg)
+
+
+# F3 — kbase substring-containment choice extraction (base:1309-1332):
+# accept iff exactly one choice substring-matches the (entity-stripped) text.
+@register(
+    "f3_kbase_choice",
+    """
+    WITH prep AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             list_filter(['fast', 'slow'], c -> contains(t, c)) AS cs
+      FROM prep
+    )
+    SELECT doc_id,
+           CASE WHEN len(cs) = 1 THEN cs[1] ELSE 'none' END AS choice
+    FROM hits
+    """,
+)
+def f3_kbase_choice(spark, sf_dir):
+    from .functions.cleaning import extract_choice_kbase_expr
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        extract_choice_kbase_expr(
+            F.col("text"), F.lit(" never-present "), ["fast", "slow"]
+        ).alias("choice"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KG-construction pipeline queries over the deterministic synthetic corpus
 # (SURVEY.md §3; north_star dataflow). Not SQL-expressible against the
 # driver's tables -> rows-only checks. The pipeline is memoized per
@@ -995,6 +1086,14 @@ def kg_relation_type_task(spark, sf_dir):
 
     s = _kg_stages(spark, sf_dir)
     return relation_type_task(s["triples"], s["facts"], n_per_class=30)["metrics"]
+
+
+@register("kg_kegg_entity_task", None)
+def kg_kegg_entity_task(spark, sf_dir):
+    from .pipeline import kegg_entity_task
+
+    s = _kg_stages(spark, sf_dir)
+    return kegg_entity_task(s["triples"], s["facts"], n_pathways=30)["metrics"]
 
 
 @register("kg_canonical_map", None)

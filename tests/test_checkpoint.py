@@ -1,0 +1,87 @@
+"""Checkpoint-resume staging + per-partition lineage (north_rule)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.pipeline import build_triples
+from bioie_llm_spark.sources.checkpoint import (
+    is_materialized,
+    materialize,
+    read_lineage,
+    stage_path,
+)
+
+
+def test_materialize_write_once(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out1 = materialize(df, root, "stage_a", "snap1")
+    assert out1.count() == 100
+    assert is_materialized(root, "stage_a", "snap1")
+    mtime = os.path.getmtime(os.path.join(stage_path(root, "stage_a", "snap1"), "_SUCCESS"))
+
+    # second call must NOT rewrite (write-once resume semantics)
+    out2 = materialize(spark.range(5).selectExpr("id", "id as v"), root, "stage_a", "snap1")
+    assert out2.count() == 100  # stale input ignored; stage already done
+    assert os.path.getmtime(
+        os.path.join(stage_path(root, "stage_a", "snap1"), "_SUCCESS")
+    ) == mtime
+
+
+def test_lineage_rows(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(1000).repartition(4)
+    materialize(df, root, "stage_b", "snapX")
+    lin = read_lineage(spark, root).filter(
+        (F.col("stage") == "stage_b") & (F.col("snapshot") == "snapX")
+    )
+    rows = lin.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert all(r["content_hash"] is not None for r in rows)
+
+
+def test_snapshot_isolation(spark, tmp_path):
+    root = str(tmp_path)
+    materialize(spark.range(10), root, "stage_c", "snap1")
+    materialize(spark.range(20), root, "stage_c", "snap2")
+    assert spark.read.parquet(stage_path(root, "stage_c", "snap1")).count() == 10
+    assert spark.read.parquet(stage_path(root, "stage_c", "snap2")).count() == 20
+
+
+def test_pipeline_checkpointing(spark, tiny_spec, tmp_path):
+    root = str(tmp_path / "pipe")
+    s1 = build_triples(spark, tiny_spec, out_dir=root, snapshot="s0")
+    n1 = s1["triples"].count()
+    for stage in ("corpus", "gazetteer", "triples"):
+        assert is_materialized(root, stage, "s0"), stage
+    # resume: rebuild skips the work and reads identical triples back
+    s2 = build_triples(spark, tiny_spec, out_dir=root, snapshot="s0")
+    assert s2["triples"].count() == n1
+    lin = read_lineage(spark, root)
+    assert {r["stage"] for r in lin.select("stage").distinct().collect()} >= {
+        "corpus", "gazetteer", "triples",
+    }
+    # triple table is partitioned by predicate on disk
+    parts = os.listdir(stage_path(root, "triples", "s0"))
+    assert any(p.startswith("pred=") for p in parts)
+
+
+def test_skew_operators(spark):
+    from bioie_llm_spark.operators.skew import (
+        broadcast_hot_keys,
+        salted_collect_set,
+        salted_count,
+    )
+
+    df = spark.createDataFrame(
+        [("hot", f"v{i % 7}") for i in range(900)] + [("cold", "x")] * 9,
+        "k string, v string",
+    )
+    counts = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+    assert counts == {"hot": 900, "cold": 9}
+    sets = {r["k"]: r["v_set"] for r in salted_collect_set(df, ["k"], "v").collect()}
+    assert sets["hot"] == sorted({f"v{i}" for i in range(7)})
+    assert sets["cold"] == ["x"]
+    hot = broadcast_hot_keys(df, ["k"], threshold_frac=0.5).collect()
+    assert len(hot) == 1 and hot[0]["k"] == "hot"

@@ -70,6 +70,18 @@ def test_relation_type_task(spark, stages):
     assert out["confusion"].count() >= 6
 
 
+def test_kegg_entity_task(spark, stages):
+    from bioie_llm_spark.pipeline import kegg_entity_task
+
+    out = kegg_entity_task(stages["triples"], stages["facts"], n_pathways=10)
+    m = out["metrics"].first()
+    # 1/3 of predicted genes are rendered via their A1 alias in the mock
+    # response — a high score proves alias matching + first-alias projection
+    assert m["micro_f1"] >= 0.9, m
+    fm = out["full_matches"].first()
+    assert fm["query_count"] == 10
+
+
 def test_extraction_deterministic(spark, tiny_spec):
     facts = build_facts(spark, tiny_spec)
     corpus = build_corpus(spark, tiny_spec, facts)
