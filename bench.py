@@ -38,6 +38,13 @@ HEADLINE = [
     "t4_stratified_sample",
     "u1_sort_and_pad",
     "f1_mention_match",
+    "q1_pricing_summary",
+    "dd_exact_dedup",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "sim_cosine_topk",
+    "txt_langid",
+    "cc_components",
 ]
 
 

@@ -42,12 +42,24 @@ def exact_dedup(
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Built with ``zip_with`` over shifted copies instead of
+    ``transform(sequence(...), i -> slice(toks, i, n))``: Catalyst
+    re-evaluates expressions captured inside a higher-order-function lambda
+    PER ELEMENT, so the slice formulation re-ran the normalize+split for
+    every shingle index — O(tokens^2) regex work per row (measured 29s for
+    5000 docs; this form is ~30x faster). zip_with pads the shorter side
+    with null and concat_ws skips nulls, so trailing partials form
+    truncated shingles exactly like the slice formulation; the final slice
+    drops them."""
     toks = F.split(normalized_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        out = F.zip_with(out, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    keep = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(F.slice(out, 1, keep))
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
@@ -83,10 +95,14 @@ def minhash_lsh_candidates(
     dropped (boilerplate guard) — callers can count them for lineage.
     """
     rows = n_hashes // bands
-    sig = df.select(
+    # two projections so the shingle set is computed ONCE per row: 32
+    # references to a multi-use non-trivial alias block CollapseProject,
+    # whereas inlining the expression would rebuild shingles per hash fn
+    sh = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes).alias("sig"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     banded = sig.select(
         "id",
         "sig",

@@ -90,6 +90,62 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    exact=True: all-pairs (correctness baseline / oracle twin — only for
+    dimension-sized inputs). Default: LSH-bucketed candidate generation
+    (same-bucket in any of n_tables hyperplane tables) then exact cosine —
+    the 100 TB path; near-identical vectors agree on every hyperplane sign,
+    so recall at high thresholds is ~1."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        a = c.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        b = c.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        tables = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("vec"), _hyperplanes(dim, n_planes, t)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb")
+        bucketed = c.select("id", "vec", tables).select(
+            "id", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+        a = bucketed.select("table", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        b = bucketed.select("table", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        pairs = (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine_sim"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -114,9 +114,9 @@ _A5_TRUE_SQL = "CASE WHEN user_id % 3 = 0 THEN 'click' ELSE event_type END"
       UNION SELECT DISTINCT true_label FROM pairs
     )
     SELECT l.label AS label,
-           coalesce(sum(CASE WHEN p.pred = l.label AND p.true_label = l.label THEN 1 END), 0) AS tp,
-           coalesce(sum(CASE WHEN p.pred = l.label AND p.true_label <> l.label THEN 1 END), 0) AS fp,
-           coalesce(sum(CASE WHEN p.true_label = l.label AND p.pred <> l.label THEN 1 END), 0) AS fn
+           cast(coalesce(sum(CASE WHEN p.pred = l.label AND p.true_label = l.label THEN 1 END), 0) AS BIGINT) AS tp,
+           cast(coalesce(sum(CASE WHEN p.pred = l.label AND p.true_label <> l.label THEN 1 END), 0) AS BIGINT) AS fp,
+           cast(coalesce(sum(CASE WHEN p.true_label = l.label AND p.pred <> l.label THEN 1 END), 0) AS BIGINT) AS fn
     FROM labels l LEFT JOIN pairs p
       ON p.pred = l.label OR p.true_label = l.label
     GROUP BY l.label
@@ -159,7 +159,7 @@ def a5_per_class_counts(spark, sf_dir):
              min(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS all_n
       FROM lineitem GROUP BY l_orderkey
     )
-    SELECT coalesce(sum(all_n), 0) AS full_match_count, count(*) AS query_count FROM per
+    SELECT cast(coalesce(sum(all_n), 0) AS BIGINT) AS full_match_count, count(*) AS query_count FROM per
     """,
 )
 def a6_full_match(spark, sf_dir):
@@ -759,6 +759,38 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=10, query_id_col="query_id")
 
 
+@register(
+    "sim_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 4) AS cosine_sim FROM p WHERE c >= 0.35
+    """,
+)
+def sim_near_dup_pairs(spark, sf_dir):
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return cosine_near_dup_pairs(emb, threshold=0.35, exact=True)
+
+
+@register("sim_near_dup_lsh", None)
+def sim_near_dup_lsh(spark, sf_dir):
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return cosine_near_dup_pairs(emb, threshold=0.35, exact=False)
+
+
 @register("sim_lsh_ann", None)
 def sim_lsh_ann(spark, sf_dir):
     from .operators.similarity import lsh_ann_topk
@@ -851,6 +883,82 @@ def txt_langid(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+# P10 — prompt-strip: cut the generated text after the prompt
+# (base_processor.py:1176-1181).
+@register(
+    "p10_prompt_strip",
+    """
+    WITH r AS (
+      SELECT doc_id, 'PROMPT> ' AS prompt, 'PROMPT> ' || text AS generated
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, substr(generated, length(prompt) + 1) AS response FROM r
+    """,
+)
+def p10_prompt_strip(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    r = d.select(
+        "doc_id",
+        F.lit("PROMPT> ").alias("prompt"),
+        F.concat(F.lit("PROMPT> "), F.col("text")).alias("generated"),
+    )
+    return r.select(
+        "doc_id",
+        F.substring(
+            F.col("generated"), F.length("prompt") + 1, F.lit(2**30)
+        ).alias("response"),
+    )
+
+
+# J8 — composite span-key lookup join (indra_task_evaluator.py:40-51):
+# build `name_start_end`-style keys on both sides, broadcast equi-join.
+@register(
+    "j8_composite_key_join",
+    """
+    WITH keys AS (
+      SELECT event_type || '_' || (user_id % 10) AS k, count(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    dim AS (
+      SELECT DISTINCT event_type || '_' || (user_id % 10) AS k,
+             upper(event_type) AS label
+      FROM events
+    )
+    SELECT keys.k AS k, n_events, label FROM keys JOIN dim ON keys.k = dim.k
+    """,
+)
+def j8_composite_key_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.concat_ws("_", "event_type", F.pmod(F.col("user_id"), F.lit(10)))
+    keys = ev.groupBy(k.alias("k")).agg(F.count("*").alias("n_events"))
+    dim = ev.select(k.alias("k"), F.upper("event_type").alias("label")).distinct()
+    return keys.join(F.broadcast(dim), "k").select("k", "n_events", "label")
+
+
+# A10w — wide confusion matrix via pivot (grouping-set style;
+# evaluator.py:135-159 heatmap input).
+@register(
+    "a10_confusion_pivot",
+    f"""
+    SELECT {_A5_TRUE_SQL} AS true_label,
+           cast(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           cast(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+           cast(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           cast(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def a10_confusion_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    t = F.when(F.col("user_id") % 3 == 0, "click").otherwise(F.col("event_type"))
+    return (
+        ev.groupBy(t.alias("true_label"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .fillna(0, subset=["click", "view", "purchase", "error"])
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,29 @@ def test_cosine_topk_self_is_top1(spark):
     assert out.groupBy("query_id").count().filter(F.col("count") != 5).count() == 0
 
 
+def test_cosine_near_dup_lsh_recall(spark):
+    """Synthesize true near-dups (tiny deterministic perturbation of each
+    vector); LSH-bucketed pair finding must recover ~all of them at a high
+    threshold (near-identical vectors agree on every hyperplane sign)."""
+    from bioie_llm_spark.operators.similarity import cosine_near_dup_pairs
+
+    base = _corpus(spark).limit(100).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + (F.pmod(F.xxhash64(x.cast("string")), F.lit(100)) - 50) / 5000.0
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(perturbed)
+    exact = cosine_near_dup_pairs(corpus, threshold=0.98, exact=True)
+    lsh = cosine_near_dup_pairs(corpus, threshold=0.98, exact=False)
+    n_exact, n_hit = exact.count(), exact.join(lsh, ["id_a", "id_b"], "inner").count()
+    assert n_exact >= 90  # each perturbed twin pairs with its original
+    assert n_hit / n_exact >= 0.9, f"LSH near-dup recall {n_hit}/{n_exact}"
+
+
 def test_lsh_ann_recall(spark):
     """Multi-probe LSH must recover most of the exact top-10."""
     exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
