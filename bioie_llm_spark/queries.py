@@ -1131,6 +1131,78 @@ def f3_kbase_choice(spark, sf_dir):
     )
 
 
+# A11 — class distribution (indra_processor.py:89-104).
+@register(
+    "a11_class_distribution",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def a11_class_distribution(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# Rollup — hierarchical totals (beyond the reference; standard OLAP breadth).
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+# Window frame — per-user running totals ordered by time (streaming-state
+# twin in batch form).
+@register(
+    "w1_running_totals",
+    """
+    SELECT event_id, user_id,
+           cast(row_number() OVER w AS BIGINT) AS seq,
+           round(sum(value) OVER w, 4) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w1_running_totals(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("bigint").alias("seq"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline queries over the deterministic synthetic corpus
 # (SURVEY.md §3; north_star dataflow). Not SQL-expressible against the
