@@ -81,3 +81,27 @@ def build_prompts(
     per-row question."""
     q = render(model, q_slot, *[F.col(c) for c in q_cols])
     return df.withColumn("prompt", F.concat(F.lit(prefix), q))
+
+
+def apply_context_budget(
+    df: DataFrame,
+    max_len: int,
+    max_new_tokens: int = 0,
+    prompt_col: str = "prompt",
+) -> tuple[DataFrame, DataFrame]:
+    """Context-length guard (base_processor.py:862, run_model.py:582-599):
+    rows whose prompt + generation budget exceed the model context are
+    filtered OUT of the inference pool and returned separately as an
+    overflow metric frame (count per overflow reason) instead of the
+    reference's hard assert."""
+    budget = max_len - max_new_tokens
+    ok = df.filter(F.length(prompt_col) <= budget)
+    overflow = (
+        df.filter(F.length(prompt_col) > budget)
+        .agg(
+            F.count("*").alias("n_overflow"),
+            F.max(F.length(prompt_col)).alias("max_prompt_len"),
+        )
+        .withColumn("budget", F.lit(budget))
+    )
+    return ok, overflow

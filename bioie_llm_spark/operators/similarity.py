@@ -146,6 +146,77 @@ def cosine_near_dup_pairs(
     )
 
 
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(v) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin of squared distances) as a pure
+    expression — the IVF coarse quantizer applied per row, no shuffle."""
+    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: deterministic coarse centroids
+    (md5-ordered sample of corpus vectors — a stand-in for k-means that
+    keeps everything RNG-free), per-row cell assignment, queries probe
+    their n_probe nearest cells, exact cosine re-rank inside the probed
+    cells. The cell equi-join replaces the cross join; candidates shrink
+    ~n_centroids/n_probe-fold. Centroids are dimension-sized and live in
+    the plan as literals (collected once — bounded by n_centroids)."""
+    cents = [
+        list(r["__v"])
+        for r in corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__i"))
+        .orderBy(F.md5(F.concat(F.col("__i").cast("string"), F.lit("|ivf"))))
+        .limit(n_centroids)
+        .collect()
+    ]
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")).withColumn(
+        "cell", ivf_assign(F.col("cvec"), cents)
+    )
+    dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("probe", F.explode(ranked_cells))
+        .select("query_id", "qvec", F.col("probe.cell").alias("cell"))
+    )
+    cand = F.broadcast(q).join(c, "cell").select(
+        "query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

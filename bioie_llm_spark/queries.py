@@ -791,6 +791,19 @@ def sim_near_dup_lsh(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.35, exact=False)
 
 
+@register("sim_ivf_ann", None)
+def sim_ivf_ann(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=6)
+
+
 @register("sim_lsh_ann", None)
 def sim_lsh_ann(spark, sf_dir):
     from .operators.similarity import lsh_ann_topk

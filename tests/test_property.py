@@ -1,0 +1,114 @@
+"""Hypothesis property tests: Spark scoring kernels == pure-Python twins on
+generated inputs (SURVEY.md §7 'property-test against a pure-Python
+reimplementation'). One Spark job per property (batched examples) keeps
+runtime sane."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.functions.cleaning import py_extract_choice, py_match_mentions
+from bioie_llm_spark.operators.setops import py_sort_and_pad, sort_and_pad
+
+name_st = st.text(
+    alphabet="ABXY19-_", min_size=1, max_size=6
+).filter(lambda s: s.strip("-_"))
+arr_st = st.lists(name_st, min_size=0, max_size=12)
+
+
+def _run_sort_and_pad_batch(spark, cases, k):
+    df = spark.createDataFrame(
+        [(i, p, t) for i, (p, t) in enumerate(cases)],
+        "id int, pred array<string>, true array<string>",
+    )
+    p_out, t_out = sort_and_pad(F.col("pred"), F.col("true"), k)
+    rows = df.select("id", p_out.alias("p"), t_out.alias("t")).orderBy("id").collect()
+    return [(r["p"], r["t"]) for r in rows]
+
+
+def test_sort_and_pad_property(spark):
+    cases = []
+
+    @settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(arr_st, arr_st)
+    def collect(pred, true):
+        cases.append((pred, true))
+
+    collect()
+    got = _run_sort_and_pad_batch(spark, cases, 10)
+    for (pred, true), (gp, gt) in zip(cases, got):
+        ep, et = py_sort_and_pad(pred, true, 10)
+        assert gp == ep and gt == et, (pred, true)
+
+
+def test_sort_and_pad_invariants(spark):
+    """Structural invariants: outputs equal length when pred padded; common
+    items aligned; length <= k (pred may pad up to len(true))."""
+    cases = []
+
+    @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(arr_st, arr_st)
+    def collect(pred, true):
+        cases.append((pred, true))
+
+    collect()
+    for pred, true in cases:
+        p, t = py_sort_and_pad(pred, true, 10)
+        assert len(t) <= 10 and len(p) >= len(t)
+        common = set(pred) & set(true)
+        for i in range(min(len(p), len(t))):
+            if p[i] == t[i]:
+                assert p[i] in common or p[i] == "NONE"
+
+
+def test_match_mentions_property_batched(spark):
+    from bioie_llm_spark.functions.cleaning import match_mentions_udf
+
+    text_st = st.text(alphabet="ABXY19-_ .(),", min_size=0, max_size=40)
+    cases = []
+
+    @settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(text_st, st.lists(name_st, min_size=1, max_size=5))
+    def collect(resp, golds):
+        cases.append((resp, golds))
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, r, g) for i, (r, g) in enumerate(cases)],
+        "id int, response string, golds array<string>",
+    )
+    rows = (
+        df.withColumn("m", match_mentions_udf("response", "golds"))
+        .orderBy("id")
+        .collect()
+    )
+    for row, (resp, golds) in zip(rows, cases):
+        assert row["m"] == py_match_mentions(resp, golds), (resp, golds)
+
+
+def test_extract_choice_property():
+    """Pure-Python twin obeys its contract on generated inputs (the Spark
+    expression equivalence is covered in test_cleaning with fixed cases)."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="yesno YESNO!,.", max_size=30))
+    def check(resp):
+        out = py_extract_choice(resp, ["yes", "no"])
+        assert out in {"yes", "no", "none"}
+        toks = [__import__("re").sub(r"[^a-zA-Z]", "", t).lower() for t in resp.split()]
+        first = next((t for t in toks if t in {"yes", "no"}), "none")
+        assert out == first
+
+    check()
+
+
+def test_context_budget(spark):
+    from bioie_llm_spark.functions.prompts import apply_context_budget
+
+    df = spark.createDataFrame(
+        [("a" * 50,), ("b" * 200,)], "prompt string"
+    )
+    ok, overflow = apply_context_budget(df, max_len=120, max_new_tokens=20)
+    assert ok.count() == 1
+    o = overflow.first()
+    assert o["n_overflow"] == 1 and o["max_prompt_len"] == 200 and o["budget"] == 100

@@ -64,6 +64,19 @@ def test_cosine_near_dup_lsh_recall(spark):
     assert n_hit / n_exact >= 0.9, f"LSH near-dup recall {n_hit}/{n_exact}"
 
 
+def test_ivf_topk_recall(spark):
+    from bioie_llm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
+    approx = ivf_topk(_corpus(spark), _queries(spark), k=10, n_centroids=16, n_probe=8)
+    hits = exact.join(approx, ["query_id", "vec_id"], "inner").count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    for qid, vid in top1.items():
+        assert qid == vid  # self lives in the probed (own) cell
+
+
 def test_lsh_ann_recall(spark):
     """Multi-probe LSH must recover most of the exact top-10."""
     exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
