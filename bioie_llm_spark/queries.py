@@ -1216,6 +1216,39 @@ def w1_running_totals(spark, sf_dir):
     )
 
 
+# F4 — delimiter join/split round-trip (string_processor.py:375, 409):
+# arrays survive as first-class columns; where a text form is needed,
+# concat_ws/split round-trips exactly.
+@register(
+    "f4_delimiter_roundtrip",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation, list_sort(list(DISTINCT r.r_name)) AS vals
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           array_to_string(vals, '__DELIMITER__') AS joined,
+           len(string_split(array_to_string(vals, '__DELIMITER__'), '__DELIMITER__')) AS n_back
+    FROM g
+    """,
+)
+def f4_delimiter_roundtrip(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    g = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.array_sort(F.collect_set("r_name")).alias("vals"))
+    )
+    joined = F.concat_ws("__DELIMITER__", "vals")
+    return g.select(
+        "nation",
+        joined.alias("joined"),
+        F.size(F.split(joined, "__DELIMITER__", -1)).alias("n_back"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline queries over the deterministic synthetic corpus
 # (SURVEY.md §3; north_star dataflow). Not SQL-expressible against the

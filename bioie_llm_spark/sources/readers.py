@@ -164,6 +164,30 @@ def kegg_pathway_gene_map(
     )
 
 
+def read_converted_json(
+    spark: SparkSession, path: str, value_type: str = "array<string>"
+) -> DataFrame:
+    """S4: dict-shaped converted JSON (one big object, e.g. the STRING
+    adjacency {protein: [interactors]} at string_reader.py:75) -> rows
+    (key, value). multiLine read of the single object, then unpivoted via
+    stack-less explode of the struct fields."""
+    df = spark.read.option("multiLine", True).json(path)
+    fields = df.schema.fieldNames()
+    pairs = F.array(
+        *[
+            F.struct(F.lit(f).alias("key"), F.col(f"`{f}`").cast(value_type).alias("value"))
+            for f in fields
+        ]
+    )
+    return df.select(F.explode(pairs).alias("kv")).select("kv.key", "kv.value")
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S8: JSON sink for converted tables (string_reader.py:124-128 analog;
+    line-delimited — the scalable form of the reference's dict dumps)."""
+    df.write.mode("overwrite").json(path)
+
+
 def read_result_file(spark: SparkSession, path: str) -> DataFrame:
     """S7: golden result file -> (num, src, pred, true). Format: free-form
     header, a `****` delimiter line, then `num, src, pred, true` rows

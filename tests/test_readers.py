@@ -94,6 +94,22 @@ def test_kegg_readers_and_map(spark, fixtures):
     ]
 
 
+def test_converted_json_roundtrip(spark, fixtures, tmp_path):
+    from bioie_llm_spark.sources.readers import read_converted_json, write_json
+
+    adj = str(fixtures / "adjacency.json")
+    with open(adj, "w") as f:
+        f.write('{"AKT": ["TP53", "MDM2"], "EB1": ["RHEB"]}')
+    rows = {r["key"]: r["value"] for r in read_converted_json(spark, adj).collect()}
+    assert rows == {"AKT": ["TP53", "MDM2"], "EB1": ["RHEB"]}
+
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v int")
+    write_json(df, out)
+    back = spark.read.json(out)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("A", 1), ("B", 2)}
+
+
 def test_read_result_file(spark, fixtures):
     rows = read_result_file(spark, str(fixtures / "results.txt")).orderBy("num").collect()
     assert len(rows) == 3
