@@ -36,17 +36,39 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def jaccard_pairs(
-    names: DataFrame, name_col: str = "name", n: int = 3, threshold: float = 0.5
+    names: DataFrame,
+    name_col: str = "name",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 200,
 ) -> DataFrame:
     """Candidate near-duplicate name pairs with char-n-gram Jaccard >=
     threshold. Inverted-index blocking: explode n-grams, self-join on the
     gram (equi-join -> shuffle on gram key, skew-safe under AQE), count
     shared grams per pair, then Jaccard = shared / (|A| + |B| - shared).
-    Never materializes the cartesian product."""
+    Never materializes the cartesian product.
+
+    ``max_df``: grams occurring in more than max_df names are dropped from
+    the INDEX (not from the gram counts) — a ubiquitous gram ("PR0" in a
+    synthetic vocab, "ING" in English) contributes O(df^2) candidate pairs
+    and no discrimination; capping bounds the blow-up at large
+    vocabularies. Pairs whose overlap is exclusively ubiquitous grams are
+    missed — the standard blocking trade-off, mirrored in the DuckDB
+    oracle."""
     grams = names.select(
         F.col(name_col).alias("name"), char_ngrams(F.col(name_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     exploded = grams.select("name", "n_grams", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        # anti-join against the (small) ubiquitous-gram set — broadcasting
+        # the rare-gram whitelist would ship nearly the whole vocabulary
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
     a = exploded.select(
         F.col("name").alias("name_a"), F.col("n_grams").alias("na"), "gram"
     )

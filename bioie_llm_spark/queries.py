@@ -990,7 +990,9 @@ def a10_confusion_pivot(spark, sf_dir):
                i -> substr(nn, i, 3))) AS g
       FROM norm
     ),
-    ex AS (SELECT name, len(g) AS n, unnest(g) AS gram FROM grams),
+    ex0 AS (SELECT name, len(g) AS n, unnest(g) AS gram FROM grams),
+    hot AS (SELECT gram FROM ex0 GROUP BY gram HAVING count(*) > 200),
+    ex AS (SELECT * FROM ex0 WHERE gram NOT IN (SELECT gram FROM hot)),
     shared AS (
       SELECT a.name AS name_a, b.name AS name_b, a.n AS na, b.n AS nb, count(*) AS shared
       FROM ex a JOIN ex b ON a.gram = b.gram AND a.name < b.name
@@ -1257,19 +1259,31 @@ def f4_delimiter_roundtrip(spark, sf_dir):
 _KG_CACHE: dict[tuple[int, float], dict] = {}
 
 
-def _kg_stages(spark: SparkSession, sf_dir: str) -> dict:
+def _kg_sf(sf_dir: str) -> float:
     import re as _re
 
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _kg_root(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"bioie_kg_stages_sf{_kg_sf(sf_dir)}")
+
+
+def _kg_stages(spark: SparkSession, sf_dir: str) -> dict:
     from .datagen.corpus import CorpusSpec
     from .pipeline import build_triples
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
+    sf = _kg_sf(sf_dir)
     key = (id(spark), sf)
     if key not in _KG_CACHE:
         spec = CorpusSpec.for_scale(sf)
-        stages = build_triples(spark, spec)
-        stages["triples"] = stages["triples"].localCheckpoint()
+        # materialized under a per-sf root: resume across driver invocations
+        # in the same container + lineage queryable via kg_lineage
+        stages = build_triples(spark, spec, out_dir=_kg_root(sf_dir))
         _KG_CACHE[key] = stages
     return _KG_CACHE[key]
 
@@ -1320,6 +1334,34 @@ def kg_kegg_entity_task(spark, sf_dir):
 
     s = _kg_stages(spark, sf_dir)
     return kegg_entity_task(s["triples"], s["facts"], n_pathways=30)["metrics"]
+
+
+@register("kg_hot_predicates", None)
+def kg_hot_predicates(spark, sf_dir):
+    """Skew introspection over the triple table: heavy-hitter predicates
+    (drives salting decisions) + salted per-predicate counts."""
+    from .operators.skew import broadcast_hot_keys, salted_count
+
+    t = _kg_stages(spark, sf_dir)["triples"]
+    hot = broadcast_hot_keys(t, ["pred"], threshold_frac=0.05).withColumnRenamed(
+        "n", "n_plain"
+    )
+    salted = salted_count(t, ["pred"]).withColumnRenamed("n", "n_salted")
+    return hot.join(salted, "pred").select(
+        "pred", "n_plain", "n_salted", "frac",
+        (F.col("n_plain") == F.col("n_salted")).alias("salted_agrees"),
+    )
+
+
+@register("kg_lineage", None)
+def kg_lineage(spark, sf_dir):
+    """Per-partition lineage of the materialized pipeline stages
+    (snapshot, stage, partition_id, n_rows, content_hash)."""
+    from .sources.checkpoint import read_lineage
+
+    _kg_stages(spark, sf_dir)  # ensure stages materialized
+    root = _kg_root(sf_dir)
+    return read_lineage(spark, root).orderBy("stage", "partition_id")
 
 
 @register("kg_canonical_map", None)
