@@ -82,3 +82,48 @@ def materialize(
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "_lineage"))
+
+
+def resume_by_key(
+    inputs: DataFrame,
+    root: str,
+    stage: str,
+    snapshot: str,
+    key_cols: list[str],
+    compute,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Key-granular checkpoint-resume (SURVEY.md §7 step 7: 'skip
+    partitions whose lineage row exists'): process only input rows whose
+    key is NOT in the stage's completed-key log, append results + the new
+    keys, return the full stage output.
+
+    - ``compute(todo_inputs) -> DataFrame`` runs the stage on the pending
+      subset only; an interrupted run resumes at file/key granularity, not
+      stage granularity (the batch twin of the streaming source's
+      exactly-once file tracking).
+    - completed keys live in ``{root}/{stage}__keys/snapshot=...`` —
+      appended AFTER the output append commits, so a crash between the two
+      reprocesses a key (at-least-once) and the downstream dedup agg
+      absorbs the duplicates (idempotent triples).
+    """
+    spark = inputs.sparkSession
+    out_path = stage_path(root, stage, snapshot)
+    keys_path = stage_path(root, stage + "__keys", snapshot)
+    if os.path.exists(keys_path):
+        done = spark.read.parquet(keys_path)
+        todo = inputs.join(done, key_cols, "left_anti")
+    else:
+        todo = inputs
+    n_todo = todo.count()
+    if n_todo > 0:
+        result = compute(todo)
+        writer = result.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_path)
+        lineage_of(spark.read.parquet(out_path), stage, snapshot).write.mode(
+            "append"
+        ).parquet(os.path.join(root, "_lineage"))
+        todo.select(key_cols).distinct().write.mode("append").parquet(keys_path)
+    return spark.read.parquet(out_path)

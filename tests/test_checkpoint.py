@@ -67,6 +67,43 @@ def test_pipeline_checkpointing(spark, tiny_spec, tmp_path):
     assert any(p.startswith("pred=") for p in parts)
 
 
+def test_resume_by_key(spark, tiny_spec, tmp_path):
+    """Key-granular resume: after a partial run, only pending files are
+    reprocessed; the final output equals a one-shot run."""
+    from bioie_llm_spark.datagen.corpus import build_corpus, build_gazetteer
+    from bioie_llm_spark.extraction import extract_triples, link_entities
+    from bioie_llm_spark.sources.checkpoint import resume_by_key
+
+    root = str(tmp_path / "rk")
+    corpus = build_corpus(spark, tiny_spec).cache()
+    gaz = build_gazetteer(spark, tiny_spec)
+    compute = lambda df: link_entities(extract_triples(df), gaz)
+    calls = []
+
+    def counting_compute(df):
+        calls.append(df.count())
+        return compute(df)
+
+    # partial run: first 30 files only
+    first = corpus.filter(F.col("path") < "src/file_3")
+    out1 = resume_by_key(first, root, "extract", "s0", ["path"], counting_compute)
+    n1 = out1.count()
+
+    # full run resumes: only the remaining files are computed
+    out2 = resume_by_key(corpus, root, "extract", "s0", ["path"], counting_compute)
+    n2 = out2.count()
+    assert calls[0] == first.count()
+    assert calls[1] == corpus.count() - first.count()  # only the delta
+    assert n2 > n1
+
+    # re-run with nothing pending: no compute at all
+    out3 = resume_by_key(corpus, root, "extract", "s0", ["path"], counting_compute)
+    assert len(calls) == 2 and out3.count() == n2
+
+    # equals a one-shot batch run
+    assert n2 == compute(corpus).count()
+
+
 def test_skew_operators(spark):
     from bioie_llm_spark.operators.skew import (
         broadcast_hot_keys,
