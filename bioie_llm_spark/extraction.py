@@ -111,6 +111,59 @@ def extract_triples(
     ).mapInPandas(infer, EXTRACT_SCHEMA)
 
 
+def mock_generate(
+    prompts: DataFrame,
+    knowledge: dict[str, list[str]],
+    max_new_tokens: int = 200,
+    entity_col: str = "entity",
+    prompt_col: str = "prompt",
+    miss_per_mille: int = 20,
+) -> DataFrame:
+    """The batched `model.generate` analog (§2.8, base_processor.py:169-201):
+    prompt micro-batches in, *prompt + continuation* out (models emit the
+    prompt tokens first; the caller strips them — P10).
+
+    - ``knowledge`` plays the role of the model weights: a driver-side
+      entity -> facts dict, broadcast to executors (mock-sized; a real LLM
+      swaps this for GPU inference inside the same mapInPandas shape).
+    - ``max_new_tokens`` caps the continuation length in whitespace tokens
+      (per-task budgets: entity 200 / relation 2 / indra 5,
+      run_model.py:553-568).
+    - recall noise: a fact is dropped from the continuation with
+      probability miss_per_mille/1000, hash-keyed (deterministic).
+    """
+    spark = prompts.sparkSession
+    bc = spark.sparkContext.broadcast(knowledge)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for entity, prompt in zip(pdf[entity_col], pdf[prompt_col]):
+                facts = bc.value.get(entity, [])
+                kept = [
+                    f
+                    for f in facts
+                    if _noise_bucket(entity, "gen", f) >= miss_per_mille
+                ]
+                continuation = " " + ", ".join(kept) + "." if kept else " None."
+                toks = continuation.split(" ")
+                if len(toks) > max_new_tokens:
+                    continuation = " ".join(toks[:max_new_tokens])
+                out.append(prompt + continuation)
+            res = pdf.copy()
+            res["generated"] = out
+            yield res
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in prompts.schema)
+    return prompts.mapInPandas(fn, schema + ", generated string")
+
+
+def strip_prompt(generated, prompt):
+    """P10 (base_processor.py:1176-1181): cut the echoed prompt off the
+    generation — `text[len(prompt):]` as a JVM expression."""
+    return F.substring(generated, F.length(prompt) + 1, F.lit(2**30))
+
+
 def link_entities(
     triples: DataFrame, gazetteer: DataFrame, keep_unlinked: bool = False
 ) -> DataFrame:

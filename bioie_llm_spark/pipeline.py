@@ -102,15 +102,31 @@ def entity_task(
     queries = seeded_sample(
         gold_adj.filter(F.size("true_arr") >= min_fanout), ["node"], n_queries
     )
-    joined = queries.join(pred_adj, "node", "left").withColumn(
-        "pred_arr", F.coalesce("pred_arr", F.array().cast("array<string>"))
+    # full reference chain: few-shot prompt build (F5/F6) -> batched
+    # generate (§2.8, prompt echoed back) -> P10 prompt strip -> F1 matcher
+    from .extraction import mock_generate, strip_prompt
+    from .functions.prompts import build_prompts, few_shot_prefix
+
+    shots = seeded_sample(gold_adj, ["node"], 2, seed=7).withColumn(
+        "answer", F.concat_ws(", ", F.slice("true_arr", 1, 3))
+    ).withColumnRenamed("node", "entity")
+    prefix = few_shot_prefix(
+        shots, "galactica", "entity_q", "entity_a", ["entity"], "answer"
     )
-    # mock LLM response text: a prose listing of predicted interactors
-    response = F.concat(
-        F.lit("The interactors are: "), F.concat_ws(", ", "pred_arr"), F.lit(".")
+    prompts = build_prompts(
+        queries.withColumnRenamed("node", "entity"), "galactica", "entity_q",
+        ["entity"], prefix,
     )
-    matched = joined.withColumn("response", response).withColumn(
-        "matched", match_mentions_udf(F.col("response"), F.col("true_arr"))
+    knowledge = {
+        r["node"]: list(r["pred_arr"]) for r in pred_adj.collect()
+    }
+    generated = mock_generate(prompts, knowledge, max_new_tokens=200, miss_per_mille=0)
+    matched = (
+        generated.withColumn(
+            "response", strip_prompt(F.col("generated"), F.col("prompt"))
+        )
+        .withColumnRenamed("entity", "node")
+        .withColumn("matched", match_mentions_udf(F.col("response"), F.col("true_arr")))
     )
     p_out, t_out = sort_and_pad(F.col("matched"), F.col("true_arr"), k)
     aligned = matched.select(
