@@ -188,6 +188,20 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_relation_types(spark: SparkSession, path: str, n_classes: int | None = 6) -> list[str]:
+    """D6: relation-type label vocabulary `{label: {id: int}}` truncated to
+    the first n_classes by id (indra_reader.py:24-27). Returns the ordered
+    label list (driver-side constant — it parameterizes prompts and the
+    choice extractor)."""
+    df = spark.read.option("multiLine", True).json(path)
+    labels = sorted(
+        ((f, df.select(F.col(f"`{f}`.id")).first()[0]) for f in df.schema.fieldNames()),
+        key=lambda kv: kv[1],
+    )
+    out = [k for k, _ in labels]
+    return out[:n_classes] if n_classes else out
+
+
 def read_result_file(spark: SparkSession, path: str) -> DataFrame:
     """S7: golden result file -> (num, src, pred, true). Format: free-form
     header, a `****` delimiter line, then `num, src, pred, true` rows

@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from bioie_llm_spark.datagen.corpus import CorpusSpec
@@ -16,7 +18,10 @@ TINY = CorpusSpec(
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cores=4, shuffle_partitions=8, app_name="bioie-tests")
+    # TEST_CORES lets CI sweep parallelism levels — results must not depend
+    # on it (the engine's determinism contract)
+    cores = int(os.environ.get("TEST_CORES", "4"))
+    s = get_spark(cores=cores, shuffle_partitions=2 * cores, app_name="bioie-tests")
     yield s
 
 
