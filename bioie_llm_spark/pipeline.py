@@ -173,16 +173,30 @@ def relation_task(
         pred_ppi.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"), "found")
     ).distinct()
     with_pred = eval_pairs.join(pred_sym, ["subj", "obj"], "left")
-    # mock LLM response with hash-keyed formatting variants the choice
-    # extractor must see through ("Yes," / "Answer: yes." / "yes")
+
+    # full §2.8 chain at the relation task's token budget (max_new_tokens=2,
+    # run_model.py:556-557): prompt -> generate -> strip -> F2 choice extract.
+    # The "model" answers Yes/No with hash-keyed formatting variants the
+    # extractor must see through.
+    from .extraction import mock_generate, strip_prompt
+    from .functions.prompts import build_prompts
+
     style = F.pmod(F.xxhash64("subj", "obj", F.lit(7)), F.lit(3))
     raw_answer = F.when(F.col("found").isNotNull(), "Yes").otherwise("No")
-    response = F.when(style == 0, F.concat(raw_answer, F.lit(","))).when(
+    answer_text = F.when(style == 0, F.concat(raw_answer, F.lit(","))).when(
         style == 1, F.concat(F.lit("Answer: "), F.lower(raw_answer), F.lit("."))
     ).otherwise(F.lower(raw_answer))
-    graded = with_pred.withColumn("response", response).withColumn(
-        "pred", extract_choice_expr(F.col("response"), ["yes", "no"])
-    )
+    keyed = with_pred.withColumn(
+        "entity", F.concat_ws("|", "subj", "obj")
+    ).withColumn("answer_text", answer_text)
+    prompts = build_prompts(keyed, "galactica", "relation_q", ["subj", "obj"])
+    knowledge = {
+        r["entity"]: [r["answer_text"]] for r in keyed.select("entity", "answer_text").collect()
+    }
+    generated = mock_generate(prompts, knowledge, max_new_tokens=4, miss_per_mille=0)
+    graded = generated.withColumn(
+        "response", strip_prompt(F.col("generated"), F.col("prompt"))
+    ).withColumn("pred", extract_choice_expr(F.col("response"), ["yes", "no"]))
     pairs = graded.select("subj", "obj", "pred", "true")
     return {"pairs": pairs, "metrics": classification_metrics(pairs)}
 
@@ -204,13 +218,23 @@ def relation_type_task(
         .agg(F.min("pred").alias("pred_label"))
     )
     with_pred = sample.join(pred_indra, ["subj", "obj"], "left")
-    response = F.coalesce(
-        F.concat(F.lit("The relation is "), F.col("pred_label"), F.lit(".")),
-        F.lit("I cannot determine the relation."),
-    )
-    graded = with_pred.withColumn("response", response).withColumn(
-        "pred", extract_choice_expr(F.col("response"), INDRA_LABELS)
-    )
+
+    # §2.8 chain at the INDRA budget (max_new_tokens=5, run_model.py:558-561):
+    # unanswered pairs generate ' None.' -> F2 defaults to 'none'.
+    from .extraction import mock_generate, strip_prompt
+    from .functions.prompts import build_prompts
+
+    keyed = with_pred.withColumn("entity", F.concat_ws("|", "subj", "obj"))
+    prompts = build_prompts(keyed, "generic", "relation_q", ["subj", "obj"])
+    knowledge = {
+        r["entity"]: [r["pred_label"]]
+        for r in keyed.select("entity", "pred_label").collect()
+        if r["pred_label"] is not None
+    }
+    generated = mock_generate(prompts, knowledge, max_new_tokens=5, miss_per_mille=0)
+    graded = generated.withColumn(
+        "response", strip_prompt(F.col("generated"), F.col("prompt"))
+    ).withColumn("pred", extract_choice_expr(F.col("response"), INDRA_LABELS))
     pairs = graded.select("subj", "obj", "pred", "true")
     return {
         "pairs": pairs,

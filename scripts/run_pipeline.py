@@ -60,21 +60,24 @@ def main() -> None:
     )
     n_triples = stages["triples"].count()
     pr = triple_pr(stages["triples"], stages["facts"]).first()
-    print(
-        json.dumps(
-            {
-                "snapshot": args.snapshot,
-                "sf": args.sf,
-                "n_files": spec.n_files,
-                "n_triples": n_triples,
-                "precision": round(pr["precision"], 4),
-                "recall": round(pr["recall"], 4),
-                "f1": round(pr["f1"], 4),
-                "sec": round(time.time() - t0, 2),
-                "out": args.out,
-            }
-        )
-    )
+    summary = {
+        "snapshot": args.snapshot,
+        "sf": args.sf,
+        "n_files": spec.n_files,
+        "n_triples": n_triples,
+        "precision": round(pr["precision"], 4),
+        "recall": round(pr["recall"], 4),
+        "f1": round(pr["f1"], 4),
+        "sec": round(time.time() - t0, 2),
+        "out": args.out,
+    }
+    # S10 metrics sink: the reference writes scores into every result file
+    # header (evaluator.py:70-132); here one JSON per snapshot
+    mdir = os.path.join(args.out, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"snapshot={args.snapshot}.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
