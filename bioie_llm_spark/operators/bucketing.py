@@ -1,0 +1,43 @@
+"""Bucketed tables: pre-shuffled, co-located joins (the brief's
+"repartition/bucketing for co-located joins").
+
+At 100 TB the triple table is joined on `subj` again and again (linking
+audits, canonical remaps, graph expansion). Writing it bucketed by the
+join key pays the shuffle ONCE at write time; every later equi-join on
+that key is exchange-free (SortMergeJoin with both sides pre-bucketed).
+Spark buckets require the session catalog (`saveAsTable`), so callers pass
+a table name, not a path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist df as a bucketed (and optionally sorted) managed table."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — Catalyst elides
+    both exchanges (verify via explain: no Exchange under the join)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def exchanges_under_join(df: DataFrame) -> int:
+    """Count Exchange operators in the executed plan — 0 for a co-located
+    bucketed join (plan-shape assertion used by tests and audits)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange ")
