@@ -1251,6 +1251,57 @@ def f4_delimiter_roundtrip(spark, sf_dir):
     )
 
 
+# Sessionization — gap-based sessions as window algebra (event-pipeline op).
+@register(
+    "sess_gap_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS newf
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts, value,
+             sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def sess_gap_sessions(spark, sf_dir):
+    from .operators.sessions import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# Cube — all grouping-set combinations (OLAP breadth beyond the reference).
+@register(
+    "cube_order_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline queries over the deterministic synthetic corpus
 # (SURVEY.md §3; north_star dataflow). Not SQL-expressible against the
