@@ -1251,6 +1251,28 @@ def f4_delimiter_roundtrip(spark, sf_dir):
     )
 
 
+# F12 — JSON extraction at query time (beyond the reference, which touches
+# JSON only at the I/O boundary): parse events.props, aggregate by bucket.
+@register(
+    "f12_json_extract",
+    """
+    SELECT cast(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def f12_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
 # Sessionization — gap-based sessions as window algebra (event-pipeline op).
 @register(
     "sess_gap_sessions",
