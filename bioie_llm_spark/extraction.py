@@ -54,6 +54,16 @@ def _noise_bucket(subj: str, pred: str, obj: str) -> int:
     return int.from_bytes(d[:4], "big") % 1000
 
 
+_GEN_NAME = re.compile(r"^PR(\d+)X$")
+
+
+def _has_synonym(name: str) -> bool:
+    """Mirrors datagen: every 5th generated protein carries a SYN_ alias
+    (corpus.build_gazetteer)."""
+    m = _GEN_NAME.match(name)
+    return bool(m) and int(m.group(1)) % 5 == 0
+
+
 def extract_triples(
     corpus: DataFrame,
     miss_per_mille: int = 20,
@@ -90,6 +100,11 @@ def extract_triples(
                     b = _noise_bucket(s, p, o)
                     if b < miss_per_mille:
                         continue  # model "forgot" this fact
+                    # surface-form variation: ~3% of mentions come out as the
+                    # SYN_ alias (real models emit synonyms; the gazetteer
+                    # join must map them back to the canonical id)
+                    if 960 <= b < 990 and _has_synonym(s):
+                        s = "SYN_" + s
                     out_rows.append((repo, path, sha, s, p, o))
                     if b >= 990 and (990 + hallu_per_mille) > b:
                         if b % 2 == 0:

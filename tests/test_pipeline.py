@@ -40,6 +40,18 @@ def test_sha256_invariant(spark, stages):
     assert joined.count() > 0
 
 
+def test_alias_surface_forms_canonicalized(spark, stages):
+    """The mock LLM emits ~3% SYN_ alias forms; raw extraction shows them,
+    the linked triple table must not (gazetteer join maps alias->canonical)."""
+    raw = extract_triples(stages["corpus"])
+    n_alias_raw = raw.filter(F.col("subj").startswith("SYN_")).count()
+    assert n_alias_raw > 0, "expected alias surface forms in raw extraction"
+    n_alias_linked = stages["triples"].filter(
+        F.col("subj").startswith("SYN_") | F.col("obj").startswith("SYN_")
+    ).count()
+    assert n_alias_linked == 0
+
+
 def test_linking_kills_ghosts(spark, stages):
     """Out-of-gazetteer hallucinations never reach the triple table."""
     ghosts = stages["triples"].filter(
