@@ -1409,6 +1409,26 @@ def kg_kegg_entity_task(spark, sf_dir):
     return kegg_entity_task(s["triples"], s["facts"], n_pathways=30)["metrics"]
 
 
+@register("kg_funnel", None)
+def kg_funnel(spark, sf_dir):
+    """Extraction funnel metrics: corpus files -> raw mentions -> linked
+    mentions -> distinct triples (the per-stage extraction metrics the
+    north_rule pairs with lineage)."""
+    from .extraction import extract_triples, link_entities
+
+    s = _kg_stages(spark, sf_dir)
+    raw = extract_triples(s["corpus"])
+    n_files = s["corpus"].count()
+    n_raw = raw.count()
+    n_linked = link_entities(raw, s["gazetteer"]).count()
+    n_triples = s["triples"].count()
+    return spark.createDataFrame(
+        [(n_files, n_raw, n_linked, n_triples,
+          round(n_linked / n_raw, 4) if n_raw else 0.0)],
+        "n_files long, n_raw_mentions long, n_linked long, n_triples long, link_rate double",
+    )
+
+
 @register("kg_hot_predicates", None)
 def kg_hot_predicates(spark, sf_dir):
     """Skew introspection over the triple table: heavy-hitter predicates
