@@ -1273,6 +1273,61 @@ def f12_json_extract(spark, sf_dir):
     )
 
 
+# Composite training-data cleaning pipeline: exact-dedup keepers ∩ quality
+# threshold, with language id and token counts — the canonical corpus-prep
+# flow, fully oracle-checked (the quality formula is mirrored expression-
+# for-expression so doubles stay bit-identical across engines).
+_STOPWORDS_SQL = str(sorted({
+    "the", "a", "of", "and", "is", "der", "die", "und", "ist",
+    "el", "la", "y", "es", "le", "les", "et", "est", "的", "是", "了",
+}))
+
+_QUALITY_SQL = f"""
+      least(length(text) / 500.0, 1.0) * 0.3
+      + (1.0 - least(abs(CASE WHEN len({_TOKS_SQL}) > 0
+                    THEN list_aggregate(list_transform({_TOKS_SQL}, t -> length(t)), 'sum') / len({_TOKS_SQL})
+                    ELSE 0.0 END - 5.0) / 5.0, 1.0)) * 0.3
+      + least((CASE WHEN len({_TOKS_SQL}) > 0
+               THEN len(list_filter(list_transform({_TOKS_SQL}, t -> lower(t)),
+                        t -> list_contains({_STOPWORDS_SQL}, t))) / len({_TOKS_SQL})
+               ELSE 0.0 END) * 5.0, 1.0) * 0.2
+      + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                 ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+"""
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS content_key,
+             round({_QUALITY_SQL}, 4) AS quality,
+             len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM scored GROUP BY content_key
+    )
+    SELECT s.doc_id, s.quality, s.n_tokens
+    FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+    WHERE s.quality >= 0.35
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    from .functions.text import quality_score, token_count
+    from .operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    return scored.join(keepers, "doc_id").filter(F.col("quality") >= 0.35)
+
+
 # Sessionization — gap-based sessions as window algebra (event-pipeline op).
 @register(
     "sess_gap_sessions",
@@ -1340,10 +1395,23 @@ def _kg_sf(sf_dir: str) -> float:
 
 
 def _kg_root(sf_dir: str) -> str:
+    """Per-sf stage-cache root, keyed by a hash of the datagen/extraction
+    SOURCE so a code change in a later round can never resume from a stale
+    materialization."""
+    import hashlib
     import os
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), f"bioie_kg_stages_sf{_kg_sf(sf_dir)}")
+    from . import datagen, extraction
+
+    h = hashlib.md5()
+    for mod in (datagen.corpus, extraction):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    ver = h.hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"bioie_kg_stages_sf{_kg_sf(sf_dir)}_{ver}"
+    )
 
 
 def _kg_stages(spark: SparkSession, sf_dir: str) -> dict:
