@@ -1311,7 +1311,7 @@ _QUALITY_SQL = f"""
     )
     SELECT s.doc_id, s.quality, s.n_tokens
     FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
-    WHERE s.quality >= 0.35
+    WHERE s.quality >= 0.62
     """,
 )
 def pipeline_clean_corpus(spark, sf_dir):
@@ -1325,7 +1325,7 @@ def pipeline_clean_corpus(spark, sf_dir):
         token_count(F.col("text")).alias("n_tokens"),
     )
     keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
-    return scored.join(keepers, "doc_id").filter(F.col("quality") >= 0.35)
+    return scored.join(keepers, "doc_id").filter(F.col("quality") >= 0.62)
 
 
 # Sessionization — gap-based sessions as window algebra (event-pipeline op).
