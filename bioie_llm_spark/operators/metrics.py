@@ -59,17 +59,28 @@ def classification_metrics(
         F.count("*").alias("n"),
         F.avg((p == t).cast("double")).alias("accuracy"),
     )
+    # try_divide + coalesce: zero-tp corners (all predictions wrong, empty
+    # class) must yield 0.0 metrics, not ANSI division-by-zero errors
     micro = per_class.agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
         F.avg("f1").alias("macro_f1"),
     ).select(
-        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("micro_precision"),
-        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("micro_recall"),
+        F.coalesce(
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), F.lit(0.0)
+        ).alias("micro_precision"),
+        F.coalesce(
+            F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), F.lit(0.0)
+        ).alias("micro_recall"),
         "macro_f1",
     ).withColumn(
         "micro_f1",
-        2 * F.col("micro_precision") * F.col("micro_recall")
-        / (F.col("micro_precision") + F.col("micro_recall")),
+        F.coalesce(
+            F.try_divide(
+                2 * F.col("micro_precision") * F.col("micro_recall"),
+                F.col("micro_precision") + F.col("micro_recall"),
+            ),
+            F.lit(0.0),
+        ),
     )
     return totals.crossJoin(micro).select(
         "n", "accuracy", "micro_precision", "micro_recall", "micro_f1", "macro_f1"
