@@ -1525,6 +1525,41 @@ def kg_lineage(spark, sf_dir):
     return read_lineage(spark, root).orderBy("stage", "partition_id")
 
 
+@register("kg_canonical_triples", None)
+def kg_canonical_triples(spark, sf_dir):
+    """Triples remapped through the canonical-id mapping (the north_star's
+    canonicalization stage applied to the real output table)."""
+    from .operators.canonical import canonicalize_entities, canonicalize_triples
+
+    s = _kg_stages(spark, sf_dir)
+    t = s["triples"]
+    names = t.select(F.col("subj").alias("name")).unionByName(
+        t.select(F.col("obj").alias("name"))
+    ).distinct()
+    mapping = canonicalize_entities(names)
+    return canonicalize_triples(
+        t.select("subj", "pred", "obj", "source_sha256"), mapping
+    ).distinct()
+
+
+@register("agg_approx_distinct", None)
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate aggregates (HLL sketch) side by side with exact — the
+    scale path for distinct counts (no oracle: sketches are engine-
+    specific; correctness bound asserted in the result itself)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    ).withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts"), 4
+        ),
+    ).withColumn("within_5pct", F.col("rel_err") <= 0.05)
+    return out
+
+
 @register("kg_canonical_map", None)
 def kg_canonical_map(spark, sf_dir):
     """Canonicalization over all entity surface forms in the triple table."""
