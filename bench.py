@@ -106,9 +106,11 @@ def run_pipeline_level(cpus: int, corpus_dir: str, gaz_dir: str, n_files: int) -
     # warmup: JVM JIT, codegen cache, Python worker pool, input page cache
     timed_pipeline(spark, corpus_dir, gaz_dir, cpus)
     best = {"full": None, "extract_link": None}
+    counts: dict[str, int] = {}
     for _ in range(3):
         for stage in best:
             sec, n = timed_pipeline(spark, corpus_dir, gaz_dir, cpus, stage)
+            counts[stage] = n
             if best[stage] is None or sec < best[stage]:
                 best[stage] = sec
     spark.stop()
@@ -118,7 +120,8 @@ def run_pipeline_level(cpus: int, corpus_dir: str, gaz_dir: str, n_files: int) -
         "extract_link_sec": round(best["extract_link"], 3),
         "files_per_sec": round(n_files / best["full"], 2),
         "extract_link_files_per_sec": round(n_files / best["extract_link"], 2),
-        "n_triples": n,
+        "n_triples": counts["full"],
+        "n_linked": counts["extract_link"],
     }
 
 

@@ -117,13 +117,31 @@ def resume_by_key(
         todo = inputs
     n_todo = todo.count()
     if n_todo > 0:
+        before = _data_files(out_path)
         result = compute(todo)
         writer = result.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_path)
-        lineage_of(spark.read.parquet(out_path), stage, snapshot).write.mode(
-            "append"
-        ).parquet(os.path.join(root, "_lineage"))
+        # lineage over THIS attempt's delta only (the files the append just
+        # created) — recomputing it over the full output would re-log every
+        # prior attempt's rows, double-counting n_rows on resumed runs
+        delta = [f for f in _data_files(out_path) if f not in before]
+        if delta:
+            lineage_of(spark.read.parquet(*delta), stage, snapshot).write.mode(
+                "append"
+            ).parquet(os.path.join(root, "_lineage"))
         todo.select(key_cols).distinct().write.mode("append").parquet(keys_path)
     return spark.read.parquet(out_path)
+
+
+def _data_files(path: str) -> set[str]:
+    """All parquet data files under a stage output path (any partition depth)."""
+    out: set[str] = set()
+    for dirpath, _dirs, files in os.walk(path):
+        out.update(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return out

@@ -225,8 +225,8 @@ def read_result_file(spark: SparkSession, path: str) -> DataFrame:
         body.select(
             F.regexp_extract(head, r"^(\d+)", 1).try_cast("int").alias("num"),
             F.regexp_replace(head, r"^\d+, ", "").alias("src"),
-            F.element_at(parts, -2).alias("pred"),
-            F.element_at(parts, -1).alias("true"),
+            F.try_element_at(parts, F.lit(-2)).alias("pred"),
+            F.try_element_at(parts, F.lit(-1)).alias("true"),
         )
         .filter(F.col("num").isNotNull() & (F.col("pred") != ""))
     )
