@@ -10,7 +10,7 @@ O(distinct keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,27 +48,50 @@ def negative_pairs(
 ) -> DataFrame:
     """J4 at scale: sample-then-anti-join negative generation. NEVER the full
     cartesian (the reference's commented-out combinations() fallback,
-    string_processor.py:158-163): draw ~4n candidate pairs from the hashed
-    node id space, anti-join the positive set, take n deterministic."""
-    n_nodes = nodes.count()
-    n_draw = max(4 * n, 64)
-    idx = nodes.select(F.col(node_col).alias("name")).withColumn(
-        "rid", F.row_number().over(Window.orderBy("name")) - 1
+    string_processor.py:158-163): draw candidate id pairs from a HASHED node
+    id space, anti-join the positive set, take n deterministic.
+
+    Node ids are ``pmod(xxhash64(name), L)`` with L = 4x the node count —
+    no dense index, so no global un-partitioned sort (the previous
+    row_number() form pulled every node through one reducer). Hash
+    collisions are tolerated: a collided id matches >1 node and simply
+    yields extra candidates; empty ids yield none — both absorbed by
+    drawing 16x more id pairs than needed. Deterministic at any
+    parallelism (pure hash functions, no partition-dependent state); the
+    only full pass over `nodes` is the bounded count()."""
+    n_nodes = max(nodes.count(), 1)
+    space = 4 * n_nodes
+    n_draw = max(64 * n, 1024)
+    hashed = nodes.select(
+        F.col(node_col).alias("name"),
+        F.pmod(F.xxhash64(node_col, F.lit(seed + 2)), F.lit(space)).alias("rid"),
     )
     cand = (
         nodes.sparkSession.range(n_draw)
         .select(
-            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_nodes)).alias("ia"),
-            F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n_nodes)).alias("ib"),
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(space)).alias("ia"),
+            F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(space)).alias("ib"),
         )
         .filter(F.col("ia") != F.col("ib"))
         .select(F.least("ia", "ib").alias("ia"), F.greatest("ia", "ib").alias("ib"))
         .distinct()
     )
+    # both joins broadcast the bounded side (the draw set, then the bounded
+    # first-join result), so the possibly-huge nodes frame only ever streams
+    # map-side — zero shuffle, no global sort anywhere
+    half = (
+        hashed.withColumnRenamed("rid", "ia").withColumnRenamed("name", "subj")
+        .join(F.broadcast(cand), "ia")
+        .select("subj", "ib")
+    )
     named = (
-        cand.join(F.broadcast(idx.withColumnRenamed("rid", "ia").withColumnRenamed("name", "subj")), "ia")
-        .join(F.broadcast(idx.withColumnRenamed("rid", "ib").withColumnRenamed("name", "obj")), "ib")
-        .select("subj", "obj")
+        hashed.withColumnRenamed("rid", "ib").withColumnRenamed("name", "obj")
+        .join(F.broadcast(half), "ib")
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("subj"), F.greatest("subj", "obj").alias("obj")
+        )
+        .distinct()
     )
     pos_sym = positives.select("subj", "obj").unionByName(
         positives.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))

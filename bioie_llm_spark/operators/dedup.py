@@ -129,17 +129,57 @@ def minhash_lsh_candidates(
     ).filter(F.col("bucket_size") <= max_bucket)
     a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
+    # est_jaccard is computed INSIDE the bucket join (where the signatures
+    # are already co-located) so the final dedup `distinct()` shuffles only
+    # (long, long, double) rows — not two 32-long signature arrays per pair
+    # (that was the widest shuffle in the dedup path). The estimate is a
+    # pure function of the pair, so distinct() collapses the per-band
+    # duplicates exactly.
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
         .distinct()
     )
-    return pairs.withColumn(
-        "est_jaccard",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
-        / F.size("sig_a"),
-    ).select("id_a", "id_b", "est_jaccard")
+
+
+def ngram_exploded_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Inverted shingle index: (id, n_sh, g) — one row per (doc, shingle)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    return sh.select("id", "n_sh", F.explode("sh").alias("g"))
+
+
+def ngram_hot_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int = 100,
+) -> DataFrame:
+    """The shingles `ngram_jaccard_pairs` drops under its max_df cap, with
+    their document frequencies — the no-silent-caps drop report: pipelines
+    materialize/count this next to the pair output so the cap is auditable
+    instead of silent."""
+    ex = ngram_exploded_index(df, id_col, text_col, shingle_n)
+    return (
+        ex.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -148,14 +188,29 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs via inverted-index blocking
+    """Word-n-gram Jaccard near-dup pairs via inverted-index blocking
     (explode shingles, equi-join on shingle, count shared). SQL-expressible
-    — the DuckDB oracle twin lives in queries.py."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    — the DuckDB oracle twin lives in queries.py.
+
+    ``max_df``: shingles occurring in more than max_df docs are dropped
+    from the INDEX (denominators keep the full shingle counts) — same cap
+    as canonical.jaccard_pairs: a boilerplate shingle contributes O(df^2)
+    pairs and no discrimination, which made this the single most expensive
+    bench query before the cap. Pairs whose overlap is exclusively
+    ubiquitous shingles are missed (the standard blocking trade-off),
+    jaccard is underestimated by the dropped shared grams, and the oracle
+    mirrors the cap exactly. Audit the drop with ``ngram_hot_grams``."""
+    ex = ngram_exploded_index(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        hot = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
     shared = (

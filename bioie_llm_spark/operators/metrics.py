@@ -17,12 +17,16 @@ from pyspark.sql import functions as F
 def classification_metrics(
     pairs: DataFrame, pred_col: str = "pred", true_col: str = "true"
 ) -> DataFrame:
-    """(pred, true) label pairs -> one row:
-    (n, accuracy, micro_precision, micro_recall, micro_f1, macro_f1).
+    """(pred, true) label pairs -> one row: (n, accuracy, micro_precision,
+    micro_recall, micro_f1, macro_precision, macro_recall, macro_f1,
+    weighted_precision, weighted_recall, weighted_f1).
 
-    Matches sklearn semantics: per-class tp/fp/fn over the union of labels
-    seen in pred or true; macro = unweighted mean of per-class F1; micro =
-    global tp/(tp+fp) etc. (== accuracy for single-label multiclass).
+    Matches sklearn `precision_recall_fscore_support` semantics for every
+    average the reference emits (evaluator.py:16-18, 29-31): per-class
+    tp/fp/fn over the union of labels seen in pred or true; macro =
+    unweighted mean over classes; weighted = mean weighted by true support
+    (classes with zero support contribute 0 weight); micro = global
+    tp/(tp+fp) etc. (== accuracy for single-label multiclass).
     """
     p, t = F.col(pred_col), F.col(true_col)
     labels = (
@@ -61,9 +65,16 @@ def classification_metrics(
     )
     # try_divide + coalesce: zero-tp corners (all predictions wrong, empty
     # class) must yield 0.0 metrics, not ANSI division-by-zero errors
+    support = F.col("tp") + F.col("fn")  # sklearn weights by TRUE support
     micro = per_class.agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
         F.avg("f1").alias("macro_f1"),
+        F.sum(support).alias("total_support"),
+        F.sum(support * F.col("precision")).alias("w_p"),
+        F.sum(support * F.col("recall")).alias("w_r"),
+        F.sum(support * F.col("f1")).alias("w_f"),
     ).select(
         F.coalesce(
             F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), F.lit(0.0)
@@ -71,7 +82,18 @@ def classification_metrics(
         F.coalesce(
             F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), F.lit(0.0)
         ).alias("micro_recall"),
+        "macro_precision",
+        "macro_recall",
         "macro_f1",
+        F.coalesce(F.try_divide(F.col("w_p"), F.col("total_support")), F.lit(0.0)).alias(
+            "weighted_precision"
+        ),
+        F.coalesce(F.try_divide(F.col("w_r"), F.col("total_support")), F.lit(0.0)).alias(
+            "weighted_recall"
+        ),
+        F.coalesce(F.try_divide(F.col("w_f"), F.col("total_support")), F.lit(0.0)).alias(
+            "weighted_f1"
+        ),
     ).withColumn(
         "micro_f1",
         F.coalesce(
@@ -83,7 +105,9 @@ def classification_metrics(
         ),
     )
     return totals.crossJoin(micro).select(
-        "n", "accuracy", "micro_precision", "micro_recall", "micro_f1", "macro_f1"
+        "n", "accuracy", "micro_precision", "micro_recall", "micro_f1",
+        "macro_precision", "macro_recall", "macro_f1",
+        "weighted_precision", "weighted_recall", "weighted_f1",
     )
 
 

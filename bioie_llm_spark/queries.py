@@ -693,7 +693,9 @@ def dd_exact_dedup(spark, sf_dir):
              )) AS grams
       FROM norm
     ),
-    ex AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+    ex0 AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+    hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 100),
+    ex AS (SELECT * FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -707,7 +709,7 @@ def dd_exact_dedup(spark, sf_dir):
 def dd_ngram_jaccard(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, max_df=100)
 
 
 # MinHash LSH + SimHash: xxhash64-based -> no DuckDB twin (rows-only check).

@@ -70,6 +70,21 @@ def test_simhash_near_vs_far(spark):
     assert d_near < d_far
 
 
+def test_ngram_hot_gram_cap(spark):
+    """max_df drops ubiquitous shingles from the index: with a cap of 1,
+    every shingle shared by the 3 identical docs is hot, so pairs whose
+    overlap is ONLY boilerplate disappear — and the drop is auditable via
+    ngram_hot_grams (no silent cap)."""
+    from bioie_llm_spark.operators.dedup import ngram_hot_grams
+
+    capped = ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=1)
+    assert capped.count() == 0  # all shared shingles are hot at df>1
+    hot = {r["g"]: r["df"] for r in ngram_hot_grams(_docs(spark), max_df=1).collect()}
+    assert all(df > 1 for df in hot.values()) and len(hot) > 0
+    # uncapped keeps the pairs (df of the shared shingles is 3 <= 100)
+    assert ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=100).count() > 0
+
+
 def test_minhash_deterministic(spark):
     a = sorted(map(tuple, minhash_lsh_candidates(_docs(spark)).collect()))
     b = sorted(map(tuple, minhash_lsh_candidates(_docs(spark).repartition(7)).collect()))

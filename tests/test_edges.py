@@ -83,6 +83,35 @@ def test_lineage_total_rows_partitioning_invariant(spark, tmp_path):
         assert sum(r["n_rows"] for r in lin.collect()) == 500
 
 
+def test_negative_pairs_no_global_window(spark):
+    """J4 scale shape: the candidate index must not funnel every node
+    through one reducer — no Window / global Sort in the plan (the final
+    top-n is a TakeOrdered, which is a parallel partial sort)."""
+    from bioie_llm_spark.operators.adjacency import negative_pairs
+
+    nodes = spark.range(300).select(F.concat(F.lit("n"), "id").alias("node"))
+    pos = spark.range(100).select(
+        F.concat(F.lit("n"), F.col("id")).alias("subj"),
+        F.concat(F.lit("n"), F.col("id") + 1).alias("obj"),
+    )
+    neg = negative_pairs(nodes, pos, 40)
+    plan = neg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrdered" in plan
+    rows = [(r["subj"], r["obj"]) for r in neg.collect()]
+    assert len(rows) == 40 and len(set(rows)) == 40
+    # deterministic under different parallelism
+    rows2 = [
+        (r["subj"], r["obj"])
+        for r in negative_pairs(nodes.repartition(13), pos, 40).collect()
+    ]
+    assert rows == rows2
+    # negatives never collide with positives (either direction)
+    pos_set = {(f"n{i}", f"n{i+1}") for i in range(100)}
+    for s, o in rows:
+        assert (s, o) not in pos_set and (o, s) not in pos_set
+
+
 def test_context_budget_boundary(spark):
     from bioie_llm_spark.functions.prompts import apply_context_budget
 

@@ -24,6 +24,26 @@ def test_classification_metrics(spark):
     assert math.isclose(m["accuracy"], 0.6)
     assert math.isclose(m["micro_f1"], 0.6)
     assert math.isclose(m["macro_f1"], (2 / 3 + 1 / 2) / 2)
+    # macro/weighted P-R-F cross-checked against sklearn
+    # precision_recall_fscore_support(average='macro'/'weighted'):
+    # support(a)=3, support(b)=2
+    assert math.isclose(m["macro_precision"], (2 / 3 + 1 / 2) / 2)
+    assert math.isclose(m["macro_recall"], (2 / 3 + 1 / 2) / 2)
+    assert math.isclose(m["weighted_precision"], (3 * (2 / 3) + 2 * (1 / 2)) / 5)
+    assert math.isclose(m["weighted_recall"], 0.6)
+    assert math.isclose(m["weighted_f1"], 0.6)
+
+
+def test_classification_metrics_zero_tp(spark):
+    # all predictions wrong and a label that never appears in true: the
+    # ANSI divide-by-zero corners must all yield 0.0, weighted averages
+    # must ignore zero-support classes
+    df = spark.createDataFrame(
+        [("x", "y"), ("x", "y")], "pred string, true string"
+    )
+    m = classification_metrics(df).first()
+    assert m["accuracy"] == 0.0 and m["micro_f1"] == 0.0
+    assert m["macro_precision"] == 0.0 and m["weighted_f1"] == 0.0
 
 
 def test_full_matches(spark):

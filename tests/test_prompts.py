@@ -40,3 +40,43 @@ def test_llama2_relation_prompt(spark):
     df = spark.createDataFrame([("AKT", "TP53")], "p1 string, p2 string")
     out = build_prompts(df, "llama2", "relation_q", ["p1", "p2"]).first()
     assert out["prompt"] == "[INST] Do AKT and TP53 interact? Answer yes or no. [/INST]"
+
+
+def test_all_reference_families_present():
+    # the reference ships 12 prompter classes (src/prompters/*.py); every
+    # family must be selectable, plus the engine-local 'generic'
+    assert set(TEMPLATES) == {
+        "galactica", "llama2", "alpaca", "biogpt", "biomedlm", "falcon",
+        "llama3", "llama3.1", "mistral", "mpt", "rst", "solar", "generic",
+    }
+
+
+def test_family_specific_renderings(spark):
+    df = spark.createDataFrame([("AKT",)], "entity string")
+    expected = {
+        "falcon": ">>QUESTION<< Which proteins interact with AKT?\n>>ANSWER<<",
+        "alpaca": 'The following proteins interact with the protein "AKT":',
+        "mistral": "QUESTION: Which proteins interact with AKT?\nANSWER:",
+        "rst": "Question: Which proteins interact with AKT? Answer:",
+    }
+    for fam, want in expected.items():
+        got = build_prompts(df, fam, "entity_q", ["entity"]).first()["prompt"]
+        assert got == want, fam
+
+
+def test_positional_relation_type_slot(spark):
+    """The 'Given the options' families order the slots (sentence, choices,
+    e1, e2) in-string; the registry passes args uniformly as (sentence, e1,
+    e2, choices) via %N$s — JVM format_string and the Python few-shot twin
+    must agree."""
+    from bioie_llm_spark.functions.prompts import py_format, template
+
+    args = ("S.", "A", "B", '"x", "y"')
+    want = (
+        'S.\n\nQuestion: Given the options: "x", "y", which one is the '
+        "relation type between A and B in the text above?\n\nAnswer:"
+    )
+    assert py_format(template("biogpt", "relation_type_q"), args) == want
+    df = spark.createDataFrame([args], "s string, e1 string, e2 string, c string")
+    got = build_prompts(df, "biogpt", "relation_type_q", ["s", "e1", "e2", "c"]).first()
+    assert got["prompt"] == want
