@@ -34,17 +34,17 @@ HEADLINE = [
     "a1_symmetric_adjacency",
     "a5_per_class_counts",
     "j1_broadcast_lookup",
-    "j6_ensemble",
+    "j6_a9_vote_stats",
     "t4_stratified_sample",
-    "u1_sort_and_pad",
-    "f1_mention_match",
+    "f1_u1_match_pad",
     "q1_pricing_summary",
     "dd_exact_dedup",
     "dd_ngram_jaccard",
-    "dd_minhash_lsh",
+    "dd_minhash_simhash_check",
     "sim_cosine_topk",
-    "txt_langid",
+    "txt_profile",
     "cc_components",
+    "sess_gap_sessions",
 ]
 
 

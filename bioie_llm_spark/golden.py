@@ -1,0 +1,105 @@
+"""Golden-literal oracles for deterministic-but-not-SQL-expressible queries.
+
+The KG-pipeline queries (mock-LLM extraction, xxhash64-keyed LSH/ANN checks)
+cannot be recomputed by DuckDB — but every one of them is bit-deterministic
+at any parallelism (datagen and extraction are hash-keyed expression code;
+see datagen/corpus.py docstring and scripts/check_determinism.py). So their
+oracle is a PINNED GOLDEN RESULT: the exact rows the query produced at
+sf0.01, committed as ``golden/sf0_01.json`` and rendered into a constant
+``VALUES`` SQL that DuckDB evaluates trivially. The driver's side-by-side
+compare then asserts the engine still reproduces those rows bit-for-bit —
+a regression pin exactly as hard as a computed oracle, because the values
+can only match if the whole pipeline (corpus -> extraction -> linking ->
+dedup -> scoring) is unchanged AND parallelism-independent.
+
+Regenerate after any intentional semantics change with::
+
+    python scripts/gen_golden.py
+
+Drift without regeneration fails tests/test_oracle_parity.py (and the
+driver's CORRECTNESS gate) — golden values cannot silently rot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0_01.json")
+
+# every registry query whose oracle is a pinned golden result
+GOLDEN_QUERIES = [
+    "kg_triples",
+    "kg_triple_pr",
+    "kg_entity_task",
+    "kg_relation_task",
+    "kg_relation_type_task",
+    "kg_kegg_entity_task",
+    "kg_funnel",
+    "kg_lineage",
+    "kg_hot_predicates",
+    "kg_canonicalize",
+    "dd_minhash_simhash_check",
+    "sim_near_dup_lsh",
+    "sim_ann_recall",
+]
+
+_SQL_TYPES = {
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+}
+
+
+@lru_cache(maxsize=1)
+def load_golden() -> dict:
+    if not os.path.exists(GOLDEN_PATH):
+        return {}
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def _lit(v, sql_type: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if sql_type == "VARCHAR":
+        escaped = str(v).replace("'", "''")
+        return f"'{escaped}'"
+    if sql_type == "BOOLEAN":
+        return "true" if v else "false"
+    return f"CAST({v!r} AS {sql_type})"
+
+
+def golden_sql(name: str) -> str | None:
+    """Constant VALUES oracle for a pinned query, or None if not yet
+    generated (first run of gen_golden.py bootstraps with sql=None)."""
+    g = load_golden().get(name)
+    if not g:
+        return None
+    cols = g["columns"]  # [[name, spark_dtype], ...]
+    names = ", ".join(c for c, _ in cols)
+    types = [_SQL_TYPES[t] for _, t in cols]
+    rows_sql = ",\n      ".join(
+        "(" + ", ".join(_lit(v, t) for v, t in zip(row, types)) + ")"
+        for row in g["rows"]
+    )
+    return f"SELECT * FROM (VALUES\n      {rows_sql}\n    ) AS g({names})"
+
+
+def capture(df) -> dict:
+    """Snapshot a DataFrame's schema + rows for the golden file (used by
+    scripts/gen_golden.py). Only scalar column types are supported — golden
+    queries must pre-stringify arrays and pre-round doubles."""
+    cols = [[f.name, f.dataType.simpleString()] for f in df.schema]
+    for _, t in cols:
+        if t not in _SQL_TYPES:
+            raise TypeError(f"golden capture: unsupported column type {t}")
+    rows = [[r[c] for c, _ in cols] for r in df.collect()]
+    return {"columns": cols, "rows": rows}
