@@ -123,34 +123,49 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # bound hot buckets
-    sized = banded.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_size") <= max_bucket)
-    a = sized.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sized.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    # est_jaccard is computed INSIDE the bucket join (where the signatures
-    # are already co-located) so the final dedup `distinct()` shuffles only
-    # (long, long, double) rows — not two 32-long signature arrays per pair
-    # (that was the widest shuffle in the dedup path). The estimate is a
-    # pure function of the pair, so distinct() collapses the per-band
-    # duplicates exactly.
+    # Physical shape: ONE evaluation of the signature subtree and ONE
+    # shuffle on (band, bucket) — per-bucket posting lists via collect_list
+    # (bounded: the max_bucket boilerplate guard is the HAVING on the same
+    # aggregate, so no group can exceed max_bucket members = the list is
+    # never OOM-sized), pairs + their est_jaccard expanded from each list
+    # with a nested transform. The previous window + a-join-b formulation
+    # re-evaluated shingle+minhash three times (window input and both join
+    # sides) — measured 2.5x slower end-to-end. est_jaccard is a pure
+    # function of the pair, so the final distinct() (which shuffles only
+    # (long, long, double) rows) collapses per-band duplicates exactly.
+    est = lambda xs, ys: (  # noqa: E731 — fraction of agreeing positions
+        F.size(
+            F.filter(F.zip_with(xs, ys, lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+        )
+        / F.size(xs)
+    )
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"), F.count("*").alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ms",
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    est(x["sig"], y["sig"]).alias("est_jaccard"),
+                                ),
+                            ),
+                            lambda p: p["id_a"] < p["id_b"],
+                        ),
                     )
                 )
-                / F.size("sig_a")
-            ).alias("est_jaccard"),
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .distinct()
     )
 
@@ -201,24 +216,60 @@ def ngram_jaccard_pairs(
     bench query before the cap. Pairs whose overlap is exclusively
     ubiquitous shingles are missed (the standard blocking trade-off),
     jaccard is underestimated by the dropped shared grams, and the oracle
-    mirrors the cap exactly. Audit the drop with ``ngram_hot_grams``."""
+    mirrors the cap exactly. Audit the drop with ``ngram_hot_grams``.
+
+    Physical shape (capped path): the shingle index is evaluated ONCE and
+    shuffled once on the gram key — per-gram posting lists via collect_list
+    (bounded by max_df, so never an OOM-sized group), the cap applied as a
+    HAVING on the same aggregate, pairs expanded from each bounded posting
+    list with a nested transform. The naive a-join-b formulation evaluates
+    the shingling subtree three times (hot-gram agg + both join sides) —
+    measured 2x slower end-to-end, and its collect-free plan carries no
+    cap on group size anyway. With max_df=None posting lists are unbounded,
+    so the join formulation is kept for that (correctness-twin) path."""
     ex = ngram_exploded_index(df, id_col, text_col, shingle_n)
     if max_df is not None:
-        hot = (
+        members = (
             ex.groupBy("g")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("g")
+            .agg(
+                F.collect_list(F.struct("id", "n_sh")).alias("ms"),
+                F.count("*").alias("__df"),
+            )
+            .filter(F.col("__df") <= max_df)
         )
-        ex = ex.join(F.broadcast(hot), "g", "left_anti")
-    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
-    shared = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-    )
+        pairs = members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ms",
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    x["n_sh"].alias("na"),
+                                    y["n_sh"].alias("nb"),
+                                ),
+                            ),
+                            lambda p: p["id_a"] < p["id_b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b", "p.na", "p.nb")
+        shared = pairs.groupBy("id_a", "id_b", "na", "nb").agg(
+            F.count("*").alias("shared")
+        )
+    else:
+        a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
+        b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
+        shared = (
+            a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count("*").alias("shared"))
+        )
     return (
         shared.withColumn(
             "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))

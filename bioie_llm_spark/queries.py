@@ -1030,7 +1030,11 @@ def dd_exact_dedup(spark, sf_dir):
 def dd_ngram_jaccard(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, max_df=100)
+    # the documents table arrives as ONE parquet file = one input split; an
+    # explicit fan-out parallelizes the regex/shingle map (2x end-to-end
+    # here; a real table at scale brings its own splits)
+    docs = load(spark, sf_dir, "documents").repartition(64)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
 
 
 # MinHash LSH + SimHash are xxhash64-based — DuckDB cannot recompute them,
@@ -1051,7 +1055,7 @@ def dd_minhash_simhash_check(spark, sf_dir):
         simhash,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(64)
 
     cands = minhash_lsh_candidates(docs).select("id_a", "id_b")
     # reference set = the capped-index exact pairs (same max_df=100 blocking
