@@ -54,33 +54,64 @@ def jaccard_pairs(
     and no discrimination; capping bounds the blow-up at large
     vocabularies. Pairs whose overlap is exclusively ubiquitous grams are
     missed — the standard blocking trade-off, mirrored in the DuckDB
-    oracle."""
+    oracle.
+
+    Physical shape (capped path, same as dedup.ngram_jaccard_pairs): ONE
+    evaluation of the n-gram subtree and ONE shuffle on the gram key —
+    bounded posting lists via collect_list with the cap as a HAVING (so no
+    group exceeds max_df members), pairs expanded per list; the join
+    formulation (kept for max_df=None) evaluates the normalize+gram map
+    three times."""
     grams = names.select(
         F.col(name_col).alias("name"), char_ngrams(F.col(name_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     exploded = grams.select("name", "n_grams", F.explode("grams").alias("gram"))
     if max_df is not None:
-        # anti-join against the (small) ubiquitous-gram set — broadcasting
-        # the rare-gram whitelist would ship nearly the whole vocabulary
-        hot = (
+        members = (
             exploded.groupBy("gram")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("gram")
+            .agg(
+                F.collect_list(F.struct("name", "n_grams")).alias("ms"),
+                F.count("*").alias("__df"),
+            )
+            .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
         )
-        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
-    a = exploded.select(
-        F.col("name").alias("name_a"), F.col("n_grams").alias("na"), "gram"
-    )
-    b = exploded.select(
-        F.col("name").alias("name_b"), F.col("n_grams").alias("nb"), "gram"
-    )
-    shared = (
-        a.join(b, "gram")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .groupBy("name_a", "name_b", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-    )
+        pairs = members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ms",
+                                lambda y: F.struct(
+                                    x["name"].alias("name_a"),
+                                    y["name"].alias("name_b"),
+                                    x["n_grams"].alias("na"),
+                                    y["n_grams"].alias("nb"),
+                                ),
+                            ),
+                            lambda p: p["name_a"] < p["name_b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.name_a", "p.name_b", "p.na", "p.nb")
+        shared = pairs.groupBy("name_a", "name_b", "na", "nb").agg(
+            F.count("*").alias("shared")
+        )
+    else:
+        a = exploded.select(
+            F.col("name").alias("name_a"), F.col("n_grams").alias("na"), "gram"
+        )
+        b = exploded.select(
+            F.col("name").alias("name_b"), F.col("n_grams").alias("nb"), "gram"
+        )
+        shared = (
+            a.join(b, "gram")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .groupBy("name_a", "name_b", "na", "nb")
+            .agg(F.count("*").alias("shared"))
+        )
     return shared.withColumn(
         "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     ).filter(F.col("jaccard") >= threshold).select("name_a", "name_b", "jaccard")

@@ -1,0 +1,49 @@
+"""Cross-model report composition (result_comparer.py:105-128 semantics)."""
+
+from bioie_llm_spark.report import confusion_pivot, model_comparison, render_confusion
+
+# three models over four srcs, gold = a,a,b,b
+M1 = [("s1", "a", "a"), ("s2", "a", "a"), ("s3", "b", "b"), ("s4", "a", "b")]
+M2 = [("s1", "a", "a"), ("s2", "b", "a"), ("s3", "b", "b"), ("s4", "a", "b")]
+M3 = [("s1", "a", "a"), ("s2", "a", "a"), ("s3", "a", "b"), ("s4", "a", "b")]
+
+
+def _frames(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "src string, pred string, true string")
+    return {"m1": mk(M1), "m2": mk(M2), "m3": mk(M3)}
+
+
+def test_model_comparison(spark):
+    rep = {r["model"]: r for r in model_comparison(_frames(spark)).collect()}
+    assert set(rep) == {"m1", "m2", "m3"}
+    # per-model accuracy: m1 3/4, m2 2/4, m3 2/4
+    assert rep["m1"]["accuracy"] == 0.75
+    assert rep["m2"]["accuracy"] == 0.5
+    assert rep["m3"]["accuracy"] == 0.5
+    # s1 right by all three -> intersection 1 (s2: m2 wrong; s3: m3 wrong)
+    assert rep["m1"]["n_correct_all"] == 1
+    # s2 right by m1+m3 (not unique); s3 right by m1+m2; no unique-correct srcs
+    assert all(rep[m]["n_correct_unique"] == 0 for m in rep)
+    # consensus: s1 (all 'a', right) and s4 (all 'a', wrong) agree -> 1 correct
+    assert rep["m1"]["n_consensus_correct"] == 1
+
+
+def test_model_comparison_unique(spark):
+    frames = _frames(spark)
+    # make m1 uniquely right on s4
+    rows = [("s1", "a", "a"), ("s2", "a", "a"), ("s3", "b", "b"), ("s4", "b", "b")]
+    frames["m1"] = frames["m1"].sparkSession.createDataFrame(
+        rows, "src string, pred string, true string"
+    )
+    rep = {r["model"]: r for r in model_comparison(frames).collect()}
+    assert rep["m1"]["n_correct_unique"] == 1
+
+
+def test_confusion_pivot_and_render(spark):
+    df = spark.createDataFrame(M1, "src string, pred string, true string")
+    wide = {r["true_label"]: r for r in confusion_pivot(df).collect()}
+    assert wide["a"]["a"] == 2 and wide["a"]["b"] == 0
+    assert wide["b"]["a"] == 1 and wide["b"]["b"] == 1
+    text = render_confusion(df)
+    assert "true_label" in text.splitlines()[0]
+    assert len(text.splitlines()) == 3
