@@ -85,6 +85,23 @@ def test_ngram_hot_gram_cap(spark):
     assert ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=100).count() > 0
 
 
+def test_grouped_pair_plans_single_index_pass(spark):
+    """Scale shape of the capped pair generators: the shingle/signature map
+    subtree must be evaluated ONCE — the plan contains no join over the
+    index (posting-list expansion instead) and no cartesian product."""
+    from bioie_llm_spark.operators.dedup import minhash_lsh_candidates
+
+    for df in (
+        ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=100),
+        minhash_lsh_candidates(_docs(spark)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        # one scan of the documents source only
+        assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+
+
 def test_minhash_deterministic(spark):
     a = sorted(map(tuple, minhash_lsh_candidates(_docs(spark)).collect()))
     b = sorted(map(tuple, minhash_lsh_candidates(_docs(spark).repartition(7)).collect()))
