@@ -54,6 +54,36 @@ def test_salted_ops_match_plain_on_mixed_data(spark):
     assert plain_s == salted_s
 
 
+def test_cc_long_chain(spark):
+    """A 300-node path has diameter 299: naive min-label propagation needs
+    299 rounds (the old implementation silently returned unconverged labels
+    at its 20-round cap); alternating large/small-star converges in
+    O(log n). All nodes must land in the min-node component."""
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(299)], "src string, dst string"
+    )
+    comp = connected_components(edges)
+    got = {r["component"] for r in comp.collect()}
+    assert got == {"n0000"}
+    assert comp.count() == 300
+
+
+def test_cc_two_components_and_hub(spark):
+    # a 1000-leaf hub star (stress: no per-group collect may materialize
+    # the component driver-side) + a separate triangle
+    hub = [("h", f"leaf{i:04d}") for i in range(1000)]
+    tri = [("x", "y"), ("y", "z"), ("z", "x")]
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(hub + tri, "src string, dst string")
+        ).collect()
+    }
+    assert comp["leaf0999"] == "h" and comp["h"] == "h"
+    assert comp["x"] == comp["y"] == comp["z"] == "x"
+    assert len(comp) == 1004
+
+
 def test_cc_cycle_and_self_loop(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("z", "z")], "src string, dst string"
