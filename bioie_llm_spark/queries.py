@@ -93,9 +93,10 @@ def _kg_root(sf_dir: str) -> str:
     import tempfile
 
     from . import datagen, extraction, pipeline
+    from .sources import checkpoint
 
     h = hashlib.md5()
-    for mod in (datagen.corpus, extraction, pipeline):
+    for mod in (datagen.corpus, extraction, pipeline, checkpoint):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     ver = h.hexdigest()[:8]

@@ -57,6 +57,10 @@ def lineage_of(df: DataFrame, stage: str, snapshot: str) -> DataFrame:
     )
 
 
+def lineage_path(root: str, stage: str, snapshot: str) -> str:
+    return os.path.join(root, "_lineage", f"stage={stage}", f"snapshot={snapshot}")
+
+
 def materialize(
     df: DataFrame,
     root: str,
@@ -66,7 +70,14 @@ def materialize(
 ) -> DataFrame:
     """Write-once stage checkpoint; returns the (re)read DataFrame so
     downstream stages consume the materialized copy (cuts lineage and makes
-    restarts O(remaining stages))."""
+    restarts O(remaining stages)).
+
+    Lineage lives under ``_lineage/stage=X/snapshot=Y`` (stage/snapshot as
+    partition directories, restored by partition discovery on read) and is
+    written idempotently AND independently of the data write: a crash
+    between the stage write and the lineage write self-heals on the next
+    call — the lineage is recomputed from the already-materialized parquet
+    instead of being lost forever behind the _SUCCESS guard."""
     spark = df.sparkSession
     path = stage_path(root, stage, snapshot)
     if not is_materialized(root, stage, snapshot):
@@ -74,14 +85,18 @@ def materialize(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        lineage_of(spark.read.parquet(path), stage, snapshot).write.mode("append").parquet(
-            os.path.join(root, "_lineage")
-        )
+    lin = lineage_path(root, stage, snapshot)
+    if not os.path.exists(os.path.join(lin, "_SUCCESS")):
+        lineage_of(spark.read.parquet(path), stage, snapshot).drop(
+            "stage", "snapshot"
+        ).write.mode("overwrite").parquet(lin)
     return spark.read.parquet(path)
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, "_lineage"))
+    return spark.read.parquet(os.path.join(root, "_lineage")).select(
+        "snapshot", "stage", "partition_id", "n_rows", "content_hash"
+    )
 
 
 def resume_by_key(
@@ -128,9 +143,9 @@ def resume_by_key(
         # prior attempt's rows, double-counting n_rows on resumed runs
         delta = [f for f in _data_files(out_path) if f not in before]
         if delta:
-            lineage_of(spark.read.parquet(*delta), stage, snapshot).write.mode(
-                "append"
-            ).parquet(os.path.join(root, "_lineage"))
+            lineage_of(spark.read.parquet(*delta), stage, snapshot).drop(
+                "stage", "snapshot"
+            ).write.mode("append").parquet(lineage_path(root, stage, snapshot))
         todo.select(key_cols).distinct().write.mode("append").parquet(keys_path)
     return spark.read.parquet(out_path)
 

@@ -29,6 +29,27 @@ def test_materialize_write_once(spark, tmp_path):
     ) == mtime
 
 
+def test_lineage_self_heals(spark, tmp_path):
+    """A crash between the stage write and the lineage write must not lose
+    the stage's lineage forever: re-materializing recomputes it from the
+    already-written parquet (idempotent per-stage overwrite)."""
+    import shutil
+
+    from bioie_llm_spark.sources.checkpoint import lineage_path
+
+    root = str(tmp_path)
+    df = spark.range(50).selectExpr("id", "id * 3 as v")
+    materialize(df, root, "s", "snap")
+    lin_dir = lineage_path(root, "s", "snap")
+    shutil.rmtree(lin_dir)  # simulate the crash window
+    materialize(df, root, "s", "snap")  # data write skipped, lineage healed
+    lin = read_lineage(spark, root).filter("stage = 's'")
+    assert sum(r["n_rows"] for r in lin.collect()) == 50
+    # and healing is idempotent — no double rows on a third call
+    materialize(df, root, "s", "snap")
+    assert sum(r["n_rows"] for r in read_lineage(spark, root).filter("stage = 's'").collect()) == 50
+
+
 def test_lineage_rows(spark, tmp_path):
     root = str(tmp_path)
     df = spark.range(1000).repartition(4)
