@@ -137,10 +137,19 @@ def mock_generate(
     prompt_col: str = "prompt",
     miss_per_mille: int = 20,
     facts_col: str | None = None,
+    generate_fn=None,
 ) -> DataFrame:
     """The batched `model.generate` analog (§2.8, base_processor.py:169-201):
     prompt micro-batches in, *prompt + continuation* out (models emit the
     prompt tokens first; the caller strips them — P10).
+
+    ``generate_fn``: the REAL-model plug point — a callable
+    ``list[prompt] -> list[generated]`` invoked once per Arrow batch on the
+    executor (each batch is the prompt micro-batch; a GPU-backed
+    implementation loads the model once per worker and runs batched
+    inference here, the exact shape of the reference's
+    ``model.generate(**encoded_batch)``). When provided it overrides the
+    mock continuation entirely; knowledge/facts_col is then optional.
 
     Two ways to supply the mock "model weights":
 
@@ -160,7 +169,7 @@ def mock_generate(
       probability miss_per_mille/1000, hash-keyed (deterministic) — output
       is identical whichever supply path is used.
     """
-    if (knowledge is None) == (facts_col is None):
+    if generate_fn is None and (knowledge is None) == (facts_col is None):
         raise ValueError("mock_generate needs exactly one of knowledge / facts_col")
     bc = (
         prompts.sparkSession.sparkContext.broadcast(knowledge)
@@ -170,6 +179,11 @@ def mock_generate(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if generate_fn is not None:
+                res = pdf.copy()
+                res["generated"] = generate_fn(list(pdf[prompt_col]))
+                yield res
+                continue
             if bc is not None:
                 fact_lists = (bc.value.get(e, []) for e in pdf[entity_col])
             else:

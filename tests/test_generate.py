@@ -39,3 +39,26 @@ def test_generate_deterministic_with_noise(spark):
     a = sorted(r["generated"] for r in mock_generate(_prompts(spark), KNOWLEDGE, miss_per_mille=300).collect())
     b = sorted(r["generated"] for r in mock_generate(_prompts(spark).repartition(3), KNOWLEDGE, miss_per_mille=300).collect())
     assert a == b
+
+
+def test_generate_fn_plug_point(spark):
+    """The real-LLM hook: a batch callable list[prompt] -> list[generated]
+    runs inside the Arrow batch and overrides the mock continuation."""
+
+    def fake_llm(batch):
+        return [p + " GENERATED(" + str(len(batch)) + ")" for p in batch]
+
+    g = mock_generate(_prompts(spark), generate_fn=fake_llm)
+    out = g.withColumn("response", strip_prompt(F.col("generated"), F.col("prompt")))
+    for r in out.collect():
+        assert r["generated"].startswith(r["prompt"])
+        assert r["response"].startswith(" GENERATED(")
+
+
+def test_generate_requires_exactly_one_source(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        mock_generate(_prompts(spark))
+    with pytest.raises(ValueError):
+        mock_generate(_prompts(spark), KNOWLEDGE, facts_col="prompt")
