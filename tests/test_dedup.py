@@ -85,6 +85,20 @@ def test_ngram_hot_gram_cap(spark):
     assert ngram_jaccard_pairs(_docs(spark), threshold=0.3, max_df=100).count() > 0
 
 
+def test_grouped_equals_join_formulation(spark):
+    """With a non-binding cap, the grouped posting-list path must produce
+    exactly the join-formulation (max_df=None) pair set — the two physical
+    shapes share one logical spec."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j * 13) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grouped = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.2, max_df=10**6).collect()))
+    joined = sorted(map(tuple, ngram_jaccard_pairs(df, threshold=0.2, max_df=None).collect()))
+    assert grouped == joined and len(grouped) > 0
+
+
 def test_grouped_pair_plans_single_index_pass(spark):
     """Scale shape of the capped pair generators: the shingle/signature map
     subtree must be evaluated ONCE — the plan contains no join over the
