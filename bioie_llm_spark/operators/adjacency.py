@@ -96,7 +96,14 @@ def negative_pairs(
     pos_sym = positives.select("subj", "obj").unionByName(
         positives.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
     )
-    neg = named.join(pos_sym, ["subj", "obj"], "left_anti")
+    # positives can be arbitrarily large and a left_anti cannot broadcast
+    # its left side (planned as a sort-merge join of the whole positive
+    # set). Instead: semi-join the positives against the BROADCAST bounded
+    # candidate set (positives stream map-side, output <= |candidates|),
+    # then anti-join candidates against that bounded hit set — zero
+    # shuffles of the positive table (plan asserted in test_edges).
+    hits = pos_sym.join(F.broadcast(named), ["subj", "obj"], "left_semi")
+    neg = named.join(F.broadcast(hits), ["subj", "obj"], "left_anti")
     return (
         neg.withColumn("__hk", F.md5(F.concat_ws("|", "subj", "obj", F.lit(str(seed)))))
         .orderBy("__hk")

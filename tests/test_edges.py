@@ -128,6 +128,8 @@ def test_negative_pairs_no_global_window(spark):
     plan = neg._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "TakeOrdered" in plan
+    # the positive set must never shuffle: broadcast joins only
+    assert "SortMergeJoin" not in plan
     rows = [(r["subj"], r["obj"]) for r in neg.collect()]
     assert len(rows) == 40 and len(set(rows)) == 40
     # deterministic under different parallelism
