@@ -60,19 +60,20 @@ def match_mentions_udf(response: pd.Series, golds: pd.Series) -> pd.Series:
     equivalent to the reference's adjacent-char check.
     """
 
+    from functools import lru_cache
+
+    @lru_cache(maxsize=65536)
+    def _pat(g: str):
+        # gold vocabularies repeat across rows — compile each gold's
+        # boundary pattern once per executor, not once per (row, gold)
+        return re.compile(
+            r"(?<![A-Za-z0-9_\-])" + re.escape(g) + r"(?![A-Za-z0-9_\-])"
+        )
+
     def one(resp: str, gs) -> list[str]:
         if resp is None or gs is None:
             return []
-        hits = []
-        for g in gs:
-            if not g:
-                continue
-            pat = re.compile(
-                r"(?<![A-Za-z0-9_\-])" + re.escape(g) + r"(?![A-Za-z0-9_\-])"
-            )
-            if pat.search(resp):
-                hits.append(g)
-        return hits
+        return [g for g in gs if g and _pat(g).search(resp)]
 
     return pd.Series([one(r, g) for r, g in zip(response, golds)])
 
