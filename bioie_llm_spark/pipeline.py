@@ -38,7 +38,7 @@ from .operators.metrics import (
 )
 from .operators.sampling import seeded_sample, stratified_sample
 from .operators.setops import sort_and_pad
-from .sources.checkpoint import materialize
+from .sources.checkpoint import materialize, resume_by_key
 
 INDRA_LABELS = sorted(INDRA_VERBS.values())
 
@@ -317,6 +317,41 @@ def kegg_entity_task(
         "metrics": classification_metrics(pairs),
         "full_matches": full_matches(pairs),
     }
+
+
+def incremental_triples(
+    spark: SparkSession,
+    corpus: DataFrame,
+    gazetteer: DataFrame,
+    out_dir: str,
+    snapshot: str,
+    miss_per_mille: int = 20,
+    hallu_per_mille: int = 10,
+) -> DataFrame:
+    """Snapshot-incremental triple build: the Iceberg-append flow. Each
+    call sees the CURRENT corpus snapshot; extraction + linking run only
+    for source files whose (repo, path, commit) key has never been
+    processed (key-granular resume over a cumulative linked store —
+    sources.checkpoint.resume_by_key), then the deduped triple table for
+    this snapshot is materialized from the cumulative store. Unchanged
+    files cost one anti-join probe, never a re-extraction; a snapshot that
+    adds 0.1% of files does ~0.1% of the UDF work. Interrupted runs resume
+    at file granularity (at-least-once; the dedup agg absorbs replays)."""
+
+    def compute(todo: DataFrame) -> DataFrame:
+        return link_entities(
+            extract_triples(todo, miss_per_mille, hallu_per_mille), gazetteer
+        )
+
+    linked = resume_by_key(
+        corpus, out_dir, "linked_incr", "cumulative",
+        ["repo", "path", "commit"], compute,
+    )
+    triples = linked.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("n_sources"),
+        F.min("source_sha256").alias("source_sha256"),
+    )
+    return materialize(triples, out_dir, "triples", snapshot, partition_by=["pred"])
 
 
 def run_end_to_end(
