@@ -98,6 +98,82 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "kind", "payload").mapInPandas(fn, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, kind string, width int, height int, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize as an Arrow-batched map: images get a new payload sized
+    for the target box and updated metadata; non-image assets pass through
+    untouched (payload and meta preserved). Real resampling is gated on PIL
+    like the other decode steps; the deterministic stand-in derives the
+    resized payload from sha256(payload | WxH) truncated/cycled to
+    width*height bytes — byte-per-pixel, so downstream size accounting and
+    schema handling are exercised for real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_PIL:  # pragma: no cover - real resample path, not in container
+                raise NotImplementedError(
+                    "real image resize intentionally stubbed in this environment"
+                )
+            payloads, widths, heights = [], [], []
+            for kind, payload, mw, mh in zip(
+                pdf["kind"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                if kind != "image":
+                    payloads.append(payload)
+                    widths.append(mw)
+                    heights.append(mh)
+                    continue
+                n = width * height
+                seed = hashlib.sha256(
+                    (payload or b"") + f"|{width}x{height}".encode()
+                ).digest()
+                buf = bytearray()
+                i = 0
+                while len(buf) < n:
+                    buf.extend(
+                        hashlib.sha256(seed + i.to_bytes(4, "big")).digest()
+                    )
+                    i += 1
+                payloads.append(bytes(buf[:n]))
+                widths.append(width)
+                heights.append(height)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "width": widths,
+                    "height": heights,
+                    "payload": payloads,
+                }
+            )
+
+    flat = assets.select(
+        "asset_id", "kind", "payload",
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+    )
+    resized = flat.mapInPandas(
+        fn, "asset_id long, kind string, width int, height int, payload binary"
+    )
+    # re-attach full typed metadata with the new dimensions (JVM-side)
+    return resized.join(
+        assets.select("asset_id", F.col("meta").alias("orig_meta")), "asset_id"
+    ).select(
+        "asset_id", "kind", "width", "height", "payload",
+        F.struct(
+            F.col("width").alias("width"),
+            F.col("height").alias("height"),
+            F.col("orig_meta.sample_rate").alias("sample_rate"),
+            F.col("orig_meta.n_frames").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def sample_frames(assets: DataFrame, every: int = 5) -> DataFrame:
     """Video frame sampling as a flat-map: one output row per sampled frame
     index (0, every, 2*every, ... < n_frames); frame content stubbed as the

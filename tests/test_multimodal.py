@@ -49,3 +49,27 @@ def test_sample_frames(spark):
     assert got == expect
     idxs = [r["frame_idx"] for r in frames.filter(F.col("asset_id") == list(expect)[0]).collect()]
     assert all(i % 5 == 0 for i in idxs)
+
+
+def test_resize_images(spark):
+    from bioie_llm_spark.multimodal.binary_ops import resize_images, synth_assets
+
+    assets = synth_assets(spark, 48)
+    out = resize_images(assets, width=32, height=16)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 48
+    for r in rows.values():
+        if r["kind"] == "image":
+            assert r["width"] == 32 and r["height"] == 16
+            assert len(r["payload"]) == 32 * 16  # byte-per-pixel stand-in
+            assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+        else:
+            # non-images pass through untouched
+            assert len(r["payload"]) == 48  # 3 md5 digests
+            assert r["meta"]["width"] == r["width"]
+    # deterministic at any parallelism
+    again = {
+        r["asset_id"]: r["payload"]
+        for r in resize_images(assets.repartition(7), width=32, height=16).collect()
+    }
+    assert all(again[k] == v["payload"] for k, v in rows.items())
