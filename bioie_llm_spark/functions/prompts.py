@@ -4,11 +4,11 @@ few-shot prefix builder.
 
 The reference ships 12 prompter classes of lambda templates
 (src/prompters/*.py); here one registry keyed by (model, slot) with the same
-task slots: entity_q/entity_a, relation_q/relation_a,
-relation_type_q/relation_type_a. Templates mirror each prompter's ACTIVE
-(last-assigned) `get_string_prompt` lambdas — the reference files carry many
-commented/overridden drafts — plus the indra relation_type form; semantics
-cited per family below, no code copied. Argument convention is uniform:
+task slots: entity_q/a, relation_q/a, relation_type_q/a for the STRING/INDRA
+corpora plus the per-corpus kegg_entity_q/a and kegg_relation_q/a forms
+(`get_kegg_prompt`). Templates mirror each prompter's ACTIVE (last-assigned)
+lambdas — the reference files carry many commented/overridden drafts;
+semantics cited per family below, no code copied. Argument convention is uniform:
 entity_q(%s=entity), relation_q(%s,%s=e1,e2), relation_type_q(sentence, e1,
 e2, choices) — families whose string orders the slots differently (the
 "Given the options: C ... between X and Y" form) use java.util.Formatter
@@ -35,8 +35,16 @@ _RT_OPTIONS = (
     "between %2$s and %3$s in the text above?\n\nAnswer:"
 )
 
+# the KEGG relation form nearly every family converged on
+# (*_prompter.py get_kegg_prompt, last-assigned)
+_KEGG_IS_GENE_RQ = (
+    'Question: Is the gene "%s" involved in the pathway "%s"?\n\nAnswer:'
+)
+_KEGG_ASSOC_EQ = 'QUESTION: Which genes are associated with "%s"?\nANSWER:'
+
 # a QUESTION/ANSWER block several families converged on
-# (llama3/llama3_1/mistral/mpt/solar_prompter.py get_string_prompt)
+# (llama3/llama3_1/mistral/mpt/solar_prompter.py get_string_prompt +
+# get_kegg_prompt; mpt overrides the kegg entity question below)
 _QA_UPPER = {
     "entity_q": "QUESTION: Which proteins interact with %s?\nANSWER:",
     "entity_a": " %s\n",
@@ -44,6 +52,10 @@ _QA_UPPER = {
     "relation_a": " %s\n",
     "relation_type_q": _RT_OPTIONS,
     "relation_type_a": " %s\n\n",
+        "kegg_entity_q": _KEGG_ASSOC_EQ,
+    "kegg_entity_a": " %s\n",
+    "kegg_relation_q": _KEGG_IS_GENE_RQ,
+    "kegg_relation_a": " %s\n\n",
 }
 
 # %s placeholders filled by format_string; answer slots end the exemplar.
@@ -56,6 +68,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n\n",
         "relation_type_q": "%s\n\nQuestion: What is the relation type between %s and %s in the sentence above? Choose one from %s.\n\nAnswer:",
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": 'Question: Which genes are involved in "%s"?\n\nAnswer:',
+        "kegg_entity_a": " %s</s>\n\n",
+        "kegg_relation_q": 'Question: Are "%s" and "%s" related to each other?\n\nAnswer:',
+        "kegg_relation_a": " %s</s>\n\n",
     },
     # llama2_prompter.py:35-67 ([INST] chat form)
     "llama2": {
@@ -65,6 +81,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s </s>",
         "relation_type_q": "[INST] %s\nWhat is the relation between %s and %s? Options: %s [/INST]",
         "relation_type_a": " %s </s>",
+        "kegg_entity_q": _KEGG_ASSOC_EQ,
+        "kegg_entity_a": " %s\n",
+        "kegg_relation_q": _KEGG_IS_GENE_RQ,
+        "kegg_relation_a": " %s\n\n",
     },
     # engine-local fallback family (not a reference prompter)
     "generic": {
@@ -74,6 +94,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n",
         "relation_type_q": "%s\nRelation between %s and %s? One of: %s.\nAnswer:",
         "relation_type_a": " %s\n",
+        "kegg_entity_q": 'Which genes are in pathway %s?\nAnswer:',
+        "kegg_entity_a": " %s\n",
+        "kegg_relation_q": 'Is gene %s in pathway %s (yes/no)?\nAnswer:',
+        "kegg_relation_a": " %s\n",
     },
     # alpaca_prompter.py get_string_prompt (completion-style entity query)
     "alpaca": {
@@ -83,6 +107,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n\n",
         "relation_type_q": _RT_OPTIONS,
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": 'The following genes are involved in "%s" pathway:',
+        "kegg_entity_a": " %s\n\n",
+        "kegg_relation_q": _KEGG_IS_GENE_RQ,
+        "kegg_relation_a": " %s\n\n",
     },
     # biogpt_prompter.py get_string_prompt
     "biogpt": {
@@ -92,6 +120,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n\n",
         "relation_type_q": _RT_OPTIONS,
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": 'Question: Which genes are involved in "%s"?\n\nAnswer:',
+        "kegg_entity_a": " %s\n\n",
+        "kegg_relation_q": _KEGG_IS_GENE_RQ,
+        "kegg_relation_a": " %s\n\n",
     },
     # biomedlm_prompter.py get_string_prompt (single-line Answer: tail)
     "biomedlm": {
@@ -101,6 +133,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n\n",
         "relation_type_q": _RT_OPTIONS,
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": 'Question: Which genes are involved in "%s"? Answer:',
+        "kegg_entity_a": " %s\n\n",
+        "kegg_relation_q": 'Question: Is the gene "%s" involved in the pathway "%s"? Answer:',
+        "kegg_relation_a": " %s\n\n",
     },
     # falcon_prompter.py get_string_prompt (>>QUESTION<< control tokens)
     "falcon": {
@@ -110,6 +146,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n",
         "relation_type_q": _RT_OPTIONS,
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": '>>QUESTION<< Which genes are associated with "%s"?\n>>ANSWER<<',
+        "kegg_entity_a": " %s\n",
+        "kegg_relation_q": _KEGG_IS_GENE_RQ,
+        "kegg_relation_a": " %s\n\n",
     },
     # llama3_prompter.py / llama3_1_prompter.py / mistral_prompter.py /
     # mpt_prompter.py / solar_prompter.py get_string_prompt — the reference
@@ -118,7 +158,7 @@ TEMPLATES: dict[str, dict[str, str]] = {
     "llama3": dict(_QA_UPPER),
     "llama3.1": dict(_QA_UPPER),
     "mistral": dict(_QA_UPPER),
-    "mpt": dict(_QA_UPPER),
+    "mpt": dict(_QA_UPPER, kegg_entity_q='QUESTION: Which genes are related to "%s"?\nANSWER:'),
     "solar": dict(_QA_UPPER),
     # rst_prompter.py get_string_prompt
     "rst": {
@@ -128,6 +168,10 @@ TEMPLATES: dict[str, dict[str, str]] = {
         "relation_a": " %s\n\n",
         "relation_type_q": _RT_OPTIONS,
         "relation_type_a": " %s\n\n",
+        "kegg_entity_q": 'Question: Which genes are involved in "%s"?\n\nAnswer:',
+        "kegg_entity_a": " %s\n\n",
+        "kegg_relation_q": 'Question: Are "%s" and "%s" related to each other?\n\nAnswer:',
+        "kegg_relation_a": " %s\n\n",
     },
 }
 

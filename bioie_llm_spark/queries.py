@@ -910,20 +910,24 @@ def p5_p6_fanout_filter(spark, sf_dir):
 # continuation is appended and stripped back off by length, per family.
 # The oracle is BUILT from the same template registry (split on the single
 # %s slot), so Spark and DuckDB render from one source of truth.
+_F5_SLOTS = ["entity_q", "kegg_entity_q"]  # the single-argument question slots
+
+
 def _f5_oracle() -> str:
     from .functions.prompts import TEMPLATES
 
     selects = []
     for fam in sorted(TEMPLATES):
-        pre, post = TEMPLATES[fam]["entity_q"].split("%s")
-        pre_sql = pre.replace("'", "''")
-        post_sql = post.replace("'", "''")
-        selects.append(
-            f"SELECT '{fam}' AS family, c_custkey,\n"
-            f"       '{pre_sql}' || c_name || '{post_sql}' AS prompt,\n"
-            "       ' ' || upper(c_name) || '.' AS response\n"
-            "FROM customer WHERE c_custkey <= 50"
-        )
+        for slot in _F5_SLOTS:
+            pre, post = TEMPLATES[fam][slot].split("%s")
+            pre_sql = pre.replace("'", "''")
+            post_sql = post.replace("'", "''")
+            selects.append(
+                f"SELECT '{fam}' AS family, '{slot}' AS slot, c_custkey,\n"
+                f"       '{pre_sql}' || c_name || '{post_sql}' AS prompt,\n"
+                "       ' ' || upper(c_name) || '.' AS response\n"
+                "FROM customer WHERE c_custkey <= 50"
+            )
     return "\nUNION ALL\n".join(selects)
 
 
@@ -935,22 +939,24 @@ def f5_prompt_template(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
     outs = []
     for fam in sorted(TEMPLATES):
-        p = build_prompts(
-            c.select("c_custkey", F.col("c_name").alias("entity")), fam, "entity_q",
-            ["entity"],
-        )
-        gen = p.withColumn(
-            "generated",
-            F.concat(F.col("prompt"), F.lit(" "), F.upper("entity"), F.lit(".")),
-        )
-        outs.append(
-            gen.select(
-                F.lit(fam).alias("family"),
-                "c_custkey",
-                "prompt",
-                strip_prompt(F.col("generated"), F.col("prompt")).alias("response"),
+        for slot in _F5_SLOTS:
+            p = build_prompts(
+                c.select("c_custkey", F.col("c_name").alias("entity")), fam, slot,
+                ["entity"],
             )
-        )
+            gen = p.withColumn(
+                "generated",
+                F.concat(F.col("prompt"), F.lit(" "), F.upper("entity"), F.lit(".")),
+            )
+            outs.append(
+                gen.select(
+                    F.lit(fam).alias("family"),
+                    F.lit(slot).alias("slot"),
+                    "c_custkey",
+                    "prompt",
+                    strip_prompt(F.col("generated"), F.col("prompt")).alias("response"),
+                )
+            )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -16,9 +16,23 @@ def test_all_models_have_all_slots():
     slots = {
         "entity_q", "entity_a", "relation_q", "relation_a",
         "relation_type_q", "relation_type_a",
+        "kegg_entity_q", "kegg_entity_a", "kegg_relation_q", "kegg_relation_a",
     }
     for model, t in TEMPLATES.items():
         assert set(t) == slots, model
+
+
+def test_kegg_slot_renderings(spark):
+    df = spark.createDataFrame([("PWY_1",)], "entity string")
+    expected = {
+        "galactica": 'Question: Which genes are involved in "PWY_1"?\n\nAnswer:',
+        "mpt": 'QUESTION: Which genes are related to "PWY_1"?\nANSWER:',
+        "solar": 'QUESTION: Which genes are associated with "PWY_1"?\nANSWER:',
+        "alpaca": 'The following genes are involved in "PWY_1" pathway:',
+    }
+    for fam, want in expected.items():
+        got = build_prompts(df, fam, "kegg_entity_q", ["entity"]).first()["prompt"]
+        assert got == want, fam
 
 
 def test_few_shot_prefix_and_prompts(spark):
