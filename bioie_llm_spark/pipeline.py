@@ -265,10 +265,16 @@ def kegg_entity_task(
     k: int = 10,
 ) -> dict[str, DataFrame]:
     """KEGG entity task (kegg_processor.py:73-133): top-N pathways (T3 rank
-    slice), gold = gene lists with alias arrays (D4/P3); the mock response
-    renders some genes by their `A1` alias (hash-keyed), the matcher accepts
-    ANY alias and projects back to the first/canonical alias (P4) before
-    sort_and_pad + metrics — the reference's alias semantics end-to-end."""
+    slice), gold = gene lists with alias arrays (D4/P3), run through the
+    FULL §2.8 chain — per-family kegg_entity_q prompt (F5) -> batched
+    generate (facts ride in the Arrow batch) -> P10 strip; the generation
+    renders some genes by their `A1` alias (hash-keyed), the matcher
+    accepts ANY alias and projects back to the first/canonical alias (P4)
+    before sort_and_pad + metrics — the reference's alias semantics
+    end-to-end."""
+    from .extraction import mock_generate, strip_prompt
+    from .functions.prompts import build_prompts
+
     gold = (
         gold_facts.filter(F.col("pred") == PRED_HAS_GENE)
         .groupBy(F.col("subj").alias("pathway"))
@@ -283,14 +289,18 @@ def kegg_entity_task(
     joined = top.join(pred, "pathway", "left").withColumn(
         "pred_arr", F.coalesce("pred_arr", F.array().cast("array<string>"))
     )
-    # response renders ~1/3 of genes via their alias form (gene + 'A1')
+    # the "model" emits ~1/3 of genes via their alias form (gene + 'A1')
     rendered = F.transform(
         "pred_arr",
         lambda g: F.when(F.pmod(F.xxhash64(g, F.lit(3)), F.lit(3)) == 0, F.concat(g, F.lit("A1"))).otherwise(g),
     )
-    joined = joined.withColumn(
-        "response",
-        F.concat(F.lit("Genes in this pathway: "), F.concat_ws(", ", rendered), F.lit(".")),
+    keyed = joined.withColumn("entity", F.col("pathway")).withColumn("facts", rendered)
+    prompts = build_prompts(keyed, "galactica", "kegg_entity_q", ["entity"])
+    generated = mock_generate(
+        prompts, max_new_tokens=200, miss_per_mille=0, facts_col="facts"
+    )
+    joined = generated.withColumn(
+        "response", strip_prompt(F.col("generated"), F.col("prompt"))
     )
     # gold alias dictionary: every gene matches as canonical OR canonical+'A1';
     # matched aliases project back to the canonical (first-alias, P4)
