@@ -93,6 +93,7 @@ def entity_task(
     n_queries: int = 100,
     min_fanout: int = 10,
     k: int = 10,
+    model: str = "galactica",
 ) -> dict[str, DataFrame]:
     """EP1 (STRING entity): for each sampled query protein with >=min_fanout
     gold interactors, build the mock-LLM response from predicted interactors,
@@ -119,10 +120,10 @@ def entity_task(
         "answer", F.concat_ws(", ", F.slice("true_arr", 1, 3))
     ).withColumnRenamed("node", "entity")
     prefix = few_shot_prefix(
-        shots, "galactica", "entity_q", "entity_a", ["entity"], "answer"
+        shots, model, "entity_q", "entity_a", ["entity"], "answer"
     )
     prompts = build_prompts(
-        queries.withColumnRenamed("node", "entity"), "galactica", "entity_q",
+        queries.withColumnRenamed("node", "entity"), model, "entity_q",
         ["entity"], prefix,
     )
     # the predicted interactor lists ride INTO the generate as a column
@@ -159,7 +160,7 @@ def entity_task(
 
 
 def relation_task(
-    triples: DataFrame, gold_facts: DataFrame, n_pairs: int = 200
+    triples: DataFrame, gold_facts: DataFrame, n_pairs: int = 200, model: str = "galactica"
 ) -> dict[str, DataFrame]:
     """EP2 (STRING relation, binary yes/no): balanced positive pairs +
     generated negatives (sample-then-anti-join, never cartesian), mock
@@ -203,7 +204,7 @@ def relation_task(
     keyed = with_pred.withColumn(
         "entity", F.concat_ws("|", "subj", "obj")
     ).withColumn("facts", F.array(answer_text))
-    prompts = build_prompts(keyed, "galactica", "relation_q", ["subj", "obj"])
+    prompts = build_prompts(keyed, model, "relation_q", ["subj", "obj"])
     generated = mock_generate(
         prompts, max_new_tokens=4, miss_per_mille=0, facts_col="facts"
     )
@@ -215,7 +216,7 @@ def relation_task(
 
 
 def relation_type_task(
-    triples: DataFrame, gold_facts: DataFrame, n_per_class: int = 50
+    triples: DataFrame, gold_facts: DataFrame, n_per_class: int = 50, model: str = "generic"
 ) -> dict[str, DataFrame]:
     """EP3 (INDRA relation_type, 6-way choice): stratified gold sample per
     class, predicted label from the extracted triple for the same (subj,obj)
@@ -243,7 +244,7 @@ def relation_type_task(
             F.array().cast("array<string>")
         ),
     )
-    prompts = build_prompts(keyed, "generic", "relation_q", ["subj", "obj"])
+    prompts = build_prompts(keyed, model, "relation_q", ["subj", "obj"])
     generated = mock_generate(
         prompts, max_new_tokens=5, miss_per_mille=0, facts_col="facts"
     )
@@ -263,6 +264,7 @@ def kegg_entity_task(
     gold_facts: DataFrame,
     n_pathways: int = 50,
     k: int = 10,
+    model: str = "galactica",
 ) -> dict[str, DataFrame]:
     """KEGG entity task (kegg_processor.py:73-133): top-N pathways (T3 rank
     slice), gold = gene lists with alias arrays (D4/P3), run through the
@@ -295,7 +297,7 @@ def kegg_entity_task(
         lambda g: F.when(F.pmod(F.xxhash64(g, F.lit(3)), F.lit(3)) == 0, F.concat(g, F.lit("A1"))).otherwise(g),
     )
     keyed = joined.withColumn("entity", F.col("pathway")).withColumn("facts", rendered)
-    prompts = build_prompts(keyed, "galactica", "kegg_entity_q", ["entity"])
+    prompts = build_prompts(keyed, model, "kegg_entity_q", ["entity"])
     generated = mock_generate(
         prompts, max_new_tokens=200, miss_per_mille=0, facts_col="facts"
     )
