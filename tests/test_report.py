@@ -47,3 +47,29 @@ def test_confusion_pivot_and_render(spark):
     text = render_confusion(df)
     assert "true_label" in text.splitlines()[0]
     assert len(text.splitlines()) == 3
+
+
+def test_cross_family_task_report(spark, tiny_spec):
+    """result_comparer flow end-to-end on REAL task outputs: the same
+    triple table scored under two prompt families, composed into the
+    per-model comparison report."""
+    from pyspark.sql import functions as F
+
+    from bioie_llm_spark.pipeline import build_triples, entity_task
+
+    stages = build_triples(spark, tiny_spec)
+    results = {}
+    for fam in ("galactica", "mpt"):
+        pairs = entity_task(
+            stages["triples"], stages["facts"], n_queries=10, model=fam
+        )["pairs"]
+        results[fam] = pairs.select(
+            F.concat_ws("#", "src", "pos").alias("src"), "pred", "true"
+        )
+    rep = {r["model"]: r for r in model_comparison(results).collect()}
+    assert set(rep) == {"galactica", "mpt"}
+    # the mock model's knowledge is family-independent: identical scores,
+    # full intersection, no unique-correct answers
+    assert rep["galactica"]["accuracy"] == rep["mpt"]["accuracy"]
+    assert rep["galactica"]["n_correct_unique"] == 0
+    assert rep["galactica"]["n_correct_all"] == rep["galactica"]["n_consensus_correct"]
