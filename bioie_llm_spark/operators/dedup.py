@@ -279,6 +279,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The complete MinHash-LSH fuzzy-dedup flow: candidate pairs above
+    ``est_threshold`` estimated Jaccard form a similarity graph, connected
+    components cluster transitive near-duplicates (a~b, b~c => one
+    cluster even if a~c was never a candidate — the standard web-corpus
+    semantics), and each cluster keeps its min id. Returns one row per
+    input doc: (id, keeper_id, is_keeper).
+
+    Every stage is the scale-shaped operator it composes: banded LSH with
+    bounded buckets (minhash_lsh_candidates) and O(log n)-round
+    large-star/small-star components (operators.canonical) — no all-pairs
+    comparison, no diameter-bound iteration, at any corpus size."""
+    from .canonical import connected_components
+
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs).filter(
+        F.col("est_jaccard") >= est_threshold
+    )
+    comps = connected_components(
+        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token xxhash64; bit b of the fingerprint is
     the sign of sum over tokens of ±1 by that token-hash bit. One explode +

@@ -120,3 +120,17 @@ def test_minhash_deterministic(spark):
     a = sorted(map(tuple, minhash_lsh_candidates(_docs(spark)).collect()))
     b = sorted(map(tuple, minhash_lsh_candidates(_docs(spark).repartition(7)).collect()))
     assert a == b
+
+
+def test_fuzzy_dedup_clusters(spark):
+    """End-to-end fuzzy dedup: docs 1/2/3 are identical after normalization,
+    doc 4 is a one-word near-dup — all four must collapse to keeper 1 via
+    the transitive similarity graph; unrelated docs keep themselves."""
+    from bioie_llm_spark.operators.dedup import fuzzy_dedup
+
+    out = {r["id"]: r for r in fuzzy_dedup(_docs(spark), est_threshold=0.5).collect()}
+    assert out[1]["keeper_id"] == out[2]["keeper_id"] == out[3]["keeper_id"] == 1
+    assert out[4]["keeper_id"] == 1  # near-dup joins the cluster
+    assert out[5]["keeper_id"] == 5 and out[6]["keeper_id"] == 6
+    keepers = [r for r in out.values() if r["is_keeper"]]
+    assert {r["id"] for r in keepers} == {1, 5, 6}
