@@ -112,3 +112,53 @@ def test_context_budget(spark):
     assert ok.count() == 1
     o = overflow.first()
     assert o["n_overflow"] == 1 and o["max_prompt_len"] == 200 and o["budget"] == 100
+
+
+def test_classification_metrics_property(spark):
+    """classification_metrics vs a pure-Python sklearn-semantics twin on
+    random (pred, true) multisets — every averaging mode must agree."""
+    import math
+
+    from bioie_llm_spark.operators.metrics import classification_metrics
+
+    label_st = st.sampled_from(["a", "b", "c", "d"])
+    pairs_st = st.lists(st.tuples(label_st, label_st), min_size=1, max_size=30)
+
+    def py_metrics(pairs):
+        labels = sorted({p for p, _ in pairs} | {t for _, t in pairs})
+        per = []
+        for lab in labels:
+            tp = sum(1 for p, t in pairs if p == lab and t == lab)
+            fp = sum(1 for p, t in pairs if p == lab and t != lab)
+            fn = sum(1 for p, t in pairs if t == lab and p != lab)
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / (tp + fn) if tp + fn else 0.0
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+            per.append((prec, rec, f1, tp + fn))
+        n = len(pairs)
+        total_support = sum(s for *_, s in per)
+        return {
+            "accuracy": sum(1 for p, t in pairs if p == t) / n,
+            "macro_precision": sum(p for p, *_ in per) / len(per),
+            "macro_recall": sum(r for _, r, *_ in per) / len(per),
+            "macro_f1": sum(f for _, _, f, _ in per) / len(per),
+            "weighted_f1": (
+                sum(f * s for _, _, f, s in per) / total_support
+                if total_support else 0.0
+            ),
+            "weighted_precision": (
+                sum(p * s for p, _, _, s in per) / total_support
+                if total_support else 0.0
+            ),
+        }
+
+    @given(pairs_st)
+    @settings(max_examples=12, deadline=None)
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "pred string, true string")
+        got = classification_metrics(df).first()
+        want = py_metrics(pairs)
+        for k, v in want.items():
+            assert math.isclose(got[k], v, abs_tol=1e-9), (k, got[k], v, pairs)
+
+    check()
