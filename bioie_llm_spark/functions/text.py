@@ -105,3 +105,50 @@ def fingerprint(col: Column) -> Column:
     """Rolling-hash-style document fingerprint: md5 of the normalized
     content (engine-portable; equals DuckDB's md5 of same normalization)."""
     return F.md5(normalized_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scrubbing + repetition signals (training-data pipeline breadth;
+# pure Catalyst, so they run inside whole-stage codegen at any scale).
+
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails, URLs and IPv4 literals with typed placeholders — the
+    standard pre-training scrub pass. Order matters: URLs first (they can
+    contain '@' and dotted hosts that the other patterns would half-mask)."""
+    out = F.regexp_replace(col, _URL_RE, "<URL>")
+    out = F.regexp_replace(out, _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, _IPV4_RE, "<IP>")
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-gram occurrences
+    claimed by the single most frequent n-gram (1.0 for a fully-looped
+    document, ~1/num_ngrams for diverse text; 0.0 when no n-gram exists).
+    Built on the shifted-copy shingling (NOT array_distinct'd — counts need
+    the duplicates), aggregated with expression-only array ops. The
+    per-row count is O(distinct x total) over one document's n-grams —
+    fine for web-document lengths; for book-length rows, explode the grams
+    and take max(count)/sum(count) per doc in a groupBy instead."""
+    toks = F.split(normalized_text(col), " ")
+    out = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        out = F.zip_with(out, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.slice(out, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.coalesce(
+        F.round(
+            F.try_divide(top.cast("double"), F.size(grams).cast("double")), 4
+        ),
+        F.lit(0.0),
+    )

@@ -46,3 +46,32 @@ def test_fingerprint_normalization(spark):
     b = _one(spark, "hello world", fingerprint(F.col("text")))
     c = _one(spark, "goodbye world", fingerprint(F.col("text")))
     assert a == b != c
+
+
+def test_scrub_pii(spark):
+    from bioie_llm_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail me at a.b+c@ex-ample.org or see https://x.io/p?q=1 from 10.0.0.1",)],
+        "text string",
+    )
+    got = df.select(scrub_pii(F.col("text")).alias("t")).first()["t"]
+    assert got == "mail me at <EMAIL> or see <URL> from <IP>"
+
+
+def test_repetition_ratio(spark):
+    from bioie_llm_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 8),              # fully looped
+            (2, "one two three four five six seven eight nine ten"),
+            (3, ""),                                  # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert got[1] > 0.3          # the loop n-gram dominates
+    assert got[2] == 0.125       # 8 distinct trigrams, each once
+    assert got[3] <= 1.0         # no crash on empty text
