@@ -157,3 +157,39 @@ def run_windowed_events_stream(
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming exact dedup: as document files land, only the FIRST
+    occurrence of each normalized-content key is emitted downstream —
+    `dropDuplicates` on the md5 content key with its state held in the
+    stream checkpoint, so dedup is exactly-once ACROSS micro-batches and
+    restarts (a later batch re-delivering known content emits nothing).
+    The batch twin is operators.dedup.exact_dedup keepers; the streaming
+    form is what a continuously-ingesting corpus pipeline runs. Drained
+    with AvailableNow; returns the finished query."""
+    from ..operators.dedup import normalized_text
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    keyed = stream.withColumn(
+        "content_key", F.md5(normalized_text(F.col(text_col)))
+    )
+    deduped = keyed.dropDuplicates(["content_key"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return q

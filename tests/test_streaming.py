@@ -81,3 +81,31 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     )
     assert joined.count() == got.count() > 0
     assert joined.filter((F.col("n") != F.col("n_b")) | (F.col("total_value") != F.col("tv_b"))).count() == 0
+
+
+def test_stream_dedup_docs(spark, tmp_path):
+    """Streaming exact dedup holds its seen-content state across separate
+    drains: batch 2 re-delivering batch 1's content emits nothing new."""
+    from bioie_llm_spark.streaming.incremental import stream_dedup_docs
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique one")]
+    spark.createDataFrame(b1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(docs_dir)
+    stream_dedup_docs(spark, docs_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2  # one per distinct content
+
+    # batch 2: one known content (dup of doc 1), one new
+    b2 = [(4, "ALPHA beta gamma!"), (5, "brand new content")]
+    spark.createDataFrame(b2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(docs_dir)
+    stream_dedup_docs(spark, docs_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 3
+    keys = [r["content_key"] for r in out.select("content_key").collect()]
+    assert len(set(keys)) == 3  # no duplicate content ever emitted
