@@ -96,10 +96,19 @@ def golden_sql(name: str) -> str | None:
 def capture(df) -> dict:
     """Snapshot a DataFrame's schema + rows for the golden file (used by
     scripts/gen_golden.py). Only scalar column types are supported — golden
-    queries must pre-stringify arrays and pre-round doubles."""
+    queries must pre-stringify arrays and pre-round doubles. Non-finite
+    floats are rejected HERE, where the golden file is produced: json would
+    serialize NaN/Infinity happily but _lit cannot render them as SQL
+    literals, so the invariant is enforced at capture time."""
+    import math
+
     cols = [[f.name, f.dataType.simpleString()] for f in df.schema]
     for _, t in cols:
         if t not in _SQL_TYPES:
             raise TypeError(f"golden capture: unsupported column type {t}")
     rows = [[r[c] for c, _ in cols] for r in df.collect()]
+    for row in rows:
+        for v, (c, t) in zip(row, cols):
+            if t in ("double", "float") and v is not None and not math.isfinite(v):
+                raise ValueError(f"golden capture: non-finite {c}={v!r}")
     return {"columns": cols, "rows": rows}

@@ -16,6 +16,7 @@ parallelism.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,6 +29,26 @@ try:  # pragma: no cover - not present in this container
     _HAS_PIL = True
 except ImportError:
     _HAS_PIL = False
+
+
+def _real_decode(op: str, *args):  # pragma: no cover - plug point
+    """The real-media plug point: implement with PIL/ffmpeg and the
+    operators below pick it up automatically (they try this first whenever
+    PIL is importable). Until implemented it signals NotImplementedError
+    and callers FALL BACK to the deterministic stub — installing Pillow
+    must never turn a working pipeline into a hard failure (ADVICE r2)."""
+    raise NotImplementedError(op)
+
+
+def _stub_fallback(op: str):  # warn once per executor per operator
+    if op not in _stub_fallback._warned:  # type: ignore[attr-defined]
+        _stub_fallback._warned.add(op)  # type: ignore[attr-defined]
+        warnings.warn(
+            f"multimodal.{op}: real decode unimplemented; using deterministic stub"
+        )
+
+
+_stub_fallback._warned = set()  # type: ignore[attr-defined]
 
 ASSET_SCHEMA = (
     "asset_id long, kind string, payload binary, "
@@ -76,16 +97,21 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. Real decode is
-    gated on PIL availability; otherwise the deterministic fake runs."""
+    """Arrow-batched feature extraction over binary payloads. Tries the real
+    decode (_real_decode) when PIL is importable; falls back to the
+    deterministic fake with a one-time warning while that plug point is
+    unimplemented."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats = None
             if _HAS_PIL:  # pragma: no cover - real decode path, not in container
-                raise NotImplementedError(
-                    "real image decode intentionally stubbed in this environment"
-                )
-            feats = [_fake_features(p) for p in pdf["payload"]]
+                try:
+                    feats = [_real_decode("extract_features", p) for p in pdf["payload"]]
+                except NotImplementedError:
+                    _stub_fallback("extract_features")
+            if feats is None:
+                feats = [_fake_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -116,9 +142,11 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if _HAS_PIL:  # pragma: no cover - real resample path, not in container
-                raise NotImplementedError(
-                    "real image resize intentionally stubbed in this environment"
-                )
+                try:
+                    yield _real_decode("resize_images", pdf, width, height)
+                    continue
+                except NotImplementedError:
+                    _stub_fallback("resize_images")
             payloads, widths, heights = [], [], []
             for kind, payload, mw, mh in zip(
                 pdf["kind"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]

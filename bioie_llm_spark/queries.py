@@ -87,7 +87,9 @@ def _kg_sf(sf_dir: str) -> float:
 def _kg_root(sf_dir: str) -> str:
     """Per-sf stage-cache root, keyed by a hash of the datagen/extraction/
     pipeline SOURCE so a code change in a later round can never resume from
-    a stale materialization."""
+    a stale materialization. Concurrency-safe: materialize() writes each
+    stage atomically (scratch dir + rename), so two processes building the
+    same sf concurrently can never read a partially-written stage."""
     import hashlib
     import os
     import tempfile

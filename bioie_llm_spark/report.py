@@ -78,17 +78,22 @@ def model_comparison(results: dict[str, DataFrame]) -> DataFrame:
 def confusion_pivot(pairs: DataFrame, pred_col: str = "pred", true_col: str = "true") -> DataFrame:
     """Wide confusion matrix (one row per true label, one column per
     predicted label) — the heatmap input frame (evaluator.py:135-159).
-    Labels discovered from the data; bounded collect (label vocabulary)."""
+    Labels discovered from the data; bounded collect (label vocabulary).
+    Null labels (e.g. an unmatched extraction) are coalesced to 'none'
+    before the vocabulary sort — sorted() over mixed None/str throws."""
+    p = F.coalesce(F.col(pred_col), F.lit("none")).alias("__pred")
+    t = F.coalesce(F.col(true_col), F.lit("none")).alias("true_label")
+    coalesced = pairs.select(p, t)
     labels = sorted(
         r["l"]
-        for r in pairs.select(F.col(pred_col).alias("l"))
-        .unionByName(pairs.select(F.col(true_col).alias("l")))
+        for r in coalesced.select(F.col("__pred").alias("l"))
+        .unionByName(coalesced.select(F.col("true_label").alias("l")))
         .distinct()
         .collect()
     )
     return (
-        pairs.groupBy(F.col(true_col).alias("true_label"))
-        .pivot(pred_col, labels)
+        coalesced.groupBy("true_label")
+        .pivot("__pred", labels)
         .count()
         .fillna(0, subset=labels)
         .orderBy("true_label")

@@ -22,6 +22,8 @@ map-side aggregate over data that is already being written).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +63,26 @@ def lineage_path(root: str, stage: str, snapshot: str) -> str:
     return os.path.join(root, "_lineage", f"stage={stage}", f"snapshot={snapshot}")
 
 
+def _write_atomic(df: DataFrame, path: str, partition_by: list[str] | None) -> None:
+    """Write a stage directory atomically: write to a scratch sibling, then
+    one ``os.rename`` into place. Two processes racing to materialize the
+    same stage can never expose a half-written directory to each other —
+    the loser's rename fails and its scratch copy is discarded (the
+    winner's copy is complete by construction; rename is atomic on POSIX).
+    A _SUCCESS-less corpse from a pre-atomic crash is cleared first."""
+    if os.path.exists(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.__tmp-{uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race — winner is complete
+
+
 def materialize(
     df: DataFrame,
     root: str,
@@ -72,6 +94,11 @@ def materialize(
     downstream stages consume the materialized copy (cuts lineage and makes
     restarts O(remaining stages)).
 
+    Both the stage data and its lineage are written atomically (scratch dir
+    + rename — see _write_atomic), so concurrent builders of the same stage
+    root are safe: one wins the rename, the other reads the winner's
+    complete copy.
+
     Lineage lives under ``_lineage/stage=X/snapshot=Y`` (stage/snapshot as
     partition directories, restored by partition discovery on read) and is
     written idempotently AND independently of the data write: a crash
@@ -81,15 +108,16 @@ def materialize(
     spark = df.sparkSession
     path = stage_path(root, stage, snapshot)
     if not is_materialized(root, stage, snapshot):
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        _write_atomic(df, path, partition_by)
     lin = lineage_path(root, stage, snapshot)
     if not os.path.exists(os.path.join(lin, "_SUCCESS")):
-        lineage_of(spark.read.parquet(path), stage, snapshot).drop(
-            "stage", "snapshot"
-        ).write.mode("overwrite").parquet(lin)
+        _write_atomic(
+            lineage_of(spark.read.parquet(path), stage, snapshot).drop(
+                "stage", "snapshot"
+            ),
+            lin,
+            None,
+        )
     return spark.read.parquet(path)
 
 
@@ -143,7 +171,11 @@ def resume_by_key(
         # prior attempt's rows, double-counting n_rows on resumed runs
         delta = [f for f in _data_files(out_path) if f not in before]
         if delta:
-            lineage_of(spark.read.parquet(*delta), stage, snapshot).drop(
+            # basePath restores Hive-partition columns (they live in the
+            # directory names, not the leaf files) so the delta's lineage
+            # hash covers the same column set as materialize's would
+            delta_df = spark.read.option("basePath", out_path).parquet(*delta)
+            lineage_of(delta_df, stage, snapshot).drop(
                 "stage", "snapshot"
             ).write.mode("append").parquet(lineage_path(root, stage, snapshot))
         todo.select(key_cols).distinct().write.mode("append").parquet(keys_path)
