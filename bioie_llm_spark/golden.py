@@ -41,6 +41,8 @@ GOLDEN_QUERIES = [
     "kg_hot_predicates",
     "kg_canonicalize",
     "dd_minhash_simhash_check",
+    "dd_fuzzy_dedup",
+    "mm_binary_pipeline",
     "sim_near_dup_lsh",
     "sim_ann_recall",
 ]

@@ -11,6 +11,8 @@ a table name, not a path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -28,6 +30,33 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def ensure_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """Write-once-per-session bucketed sink: skip the (shuffle + write) when
+    the session catalog already has the table. Bucket metadata lives in the
+    session catalog (in-memory here; a Hive/Iceberg metastore on a real
+    cluster), so a fresh session re-registers by rewriting — clearing the
+    previous session's orphaned warehouse directory first (the in-memory
+    catalog forgets the table but its managed location survives, and CREATE
+    refuses an existing location)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed(df, table, bucket_cols, n_buckets, sort_cols)
+    return table
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
@@ -41,3 +70,13 @@ def exchanges_under_join(df: DataFrame) -> int:
     bucketed join (plan-shape assertion used by tests and audits)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange ")
+
+
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """SHUFFLE exchanges only (hash/range partitioning), excluding
+    BroadcastExchange — the cost a bucketed layout removes; a broadcast is
+    already shuffle-free on the big side."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )

@@ -235,6 +235,42 @@ def canonicalize_entities(
     )
 
 
+def canonicalize_triples_colocated(
+    spark, triples_table: str, mapping_table: str
+) -> DataFrame:
+    """Canonical remap over BUCKETED tables — the 100-TB shape of
+    canonicalize_triples when the mapping outgrows broadcast size.
+
+    triples_table is bucketed by ``subj`` (written by the flagship sink,
+    pipeline.build_triples -> bucketing.ensure_bucketed_table) and
+    mapping_table by ``name``, same bucket count: the subj-remap sort-merge
+    join is then EXCHANGE-FREE on both sides — the triple table's shuffle,
+    paid once at write time, is amortized over every subsequent remap /
+    audit join on subj (plan-asserted in tests via shuffle_exchange_count).
+    The obj remap joins the (already subj-remapped) intermediate, whose
+    partitioning no longer matches, so it pays the one remaining shuffle —
+    co-locating BOTH keys would need a second obj-bucketed copy of the
+    table, the standard space/shuffle trade."""
+    triples = spark.table(triples_table)
+    mapping = spark.table(mapping_table)
+    m_s = mapping.select(
+        F.col("name").alias("subj"), F.col("canonical_id").alias("subj_c")
+    )
+    m_o = mapping.select(
+        F.col("name").alias("obj"), F.col("canonical_id").alias("obj_c")
+    )
+    out_cols = [c for c in triples.columns if c not in ("subj", "obj")]
+    return (
+        triples.join(m_s, "subj", "left")
+        .join(m_o, "obj", "left")
+        .select(
+            F.coalesce("subj_c", F.col("subj")).alias("subj"),
+            F.coalesce("obj_c", F.col("obj")).alias("obj"),
+            *out_cols,
+        )
+    )
+
+
 def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Remap subj/obj through the canonical-id mapping (broadcast — the
     mapping is gazetteer-sized)."""

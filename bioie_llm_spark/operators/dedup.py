@@ -77,23 +77,16 @@ def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def _minhash_banded(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int = 50,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate candidates.
-
-    shingle -> minhash signature -> split into `bands` bands of
-    n_hashes/bands rows -> band-hash bucket join -> candidate pairs with
-    estimated Jaccard = fraction of agreeing signature positions.
-    Returns (id_a, id_b, est_jaccard). Buckets larger than max_bucket are
-    dropped (boilerplate guard) — callers can count them for lineage.
-    """
+    """(id, sig, band, bucket) — one row per (doc, band): the shared front
+    half of candidate generation and the dropped-bucket drop report."""
     rows = n_hashes // bands
     # two projections so the shingle set is computed ONCE per row: 32
     # references to a multi-use non-trivial alias block CollapseProject,
@@ -103,7 +96,7 @@ def minhash_lsh_candidates(
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
     sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -123,6 +116,51 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_dropped_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """The (band, bucket, sz) groups minhash_lsh_candidates drops under its
+    max_bucket boilerplate guard — the no-silent-caps drop report (same
+    contract as ngram_hot_grams): pipelines count/materialize this next to
+    the candidate output so the cap is auditable lineage, never silent.
+    Under a boilerplate-heavy corpus (many near-identical docs) these
+    groups hold the boilerplate mass that would otherwise cost O(sz^2)
+    pairs per bucket."""
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidates.
+
+    shingle -> minhash signature -> split into `bands` bands of
+    n_hashes/bands rows -> band-hash bucket join -> candidate pairs with
+    estimated Jaccard = fraction of agreeing signature positions.
+    Returns (id_a, id_b, est_jaccard). Buckets larger than max_bucket are
+    dropped (boilerplate guard) — audit the drop with
+    ``minhash_dropped_buckets``.
+    """
+    banded = _minhash_banded(df, id_col, text_col, n_hashes, bands, shingle_n)
     # Physical shape: ONE evaluation of the signature subtree and ONE
     # shuffle on (band, bucket) — per-bucket posting lists via collect_list
     # (bounded: the max_bucket boilerplate guard is the HAVING on the same

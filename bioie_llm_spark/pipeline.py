@@ -75,9 +75,7 @@ def build_triples(
         F.count("*").alias("n_sources"),
         F.min("source_sha256").alias("source_sha256"),
     )
-    if out_dir:
-        triples = materialize(triples, out_dir, "triples", snapshot, partition_by=["pred"])
-    return {
+    stages = {
         "facts": facts,
         "corpus": corpus,
         "gazetteer": gaz,
@@ -85,6 +83,25 @@ def build_triples(
         "linked": linked,
         "triples": triples,
     }
+    if out_dir:
+        stages["triples"] = triples = materialize(
+            triples, out_dir, "triples", snapshot, partition_by=["pred"]
+        )
+        # the flagship sink also lands a subj-bucketed copy: the triple
+        # table is re-joined on subj again and again downstream (canonical
+        # remap, linking audits, graph expansion) — bucketing pays that
+        # shuffle ONCE at write time and every later equi-join on subj is
+        # exchange-free (canonical.canonicalize_triples_colocated;
+        # plan-asserted in tests/test_bucketing.py)
+        import hashlib
+
+        from .operators.bucketing import ensure_bucketed_table
+
+        table = "triples_by_subj_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
+        stages["triples_bucketed_table"] = ensure_bucketed_table(
+            triples, table, ["subj"], n_buckets=8
+        )
+    return stages
 
 
 def entity_task(
@@ -94,13 +111,21 @@ def entity_task(
     min_fanout: int = 10,
     k: int = 10,
     model: str = "galactica",
+    generate_fn=None,
 ) -> dict[str, DataFrame]:
     """EP1 (STRING entity): for each sampled query protein with >=min_fanout
     gold interactors, build the mock-LLM response from predicted interactors,
     run the F1 mention matcher against the gold list, sort_and_pad to k, and
     grade with positional micro/macro F1 + full-match count — the exact
     reference scoring chain (string_processor.py:400-450 ->
-    base_processor.py:1266-1298, 1571-1595 -> evaluator.py:10-31)."""
+    base_processor.py:1266-1298, 1571-1595 -> evaluator.py:10-31).
+
+    ``generate_fn``: real-model hook, passed straight to mock_generate —
+    a ``list[prompt] -> list[generated]`` batch callable replaces the mock
+    continuation while the entire surrounding chain (few-shot prompting,
+    prompt strip, matching, padding, scoring) stays identical. This is the
+    GPU swap-in point: load the model once per executor, batch-generate per
+    Arrow chunk (see README 'Real-model inference')."""
     gold_adj = symmetric_adjacency(
         gold_facts.filter(F.col("pred") == PRED_INTERACTS), "subj", "obj"
     ).withColumnRenamed("interactors", "true_arr")
@@ -134,7 +159,11 @@ def entity_task(
         pred_adj.withColumnRenamed("node", "entity"), "entity", "left"
     ).withColumn("pred_arr", F.coalesce("pred_arr", F.array().cast("array<string>")))
     generated = mock_generate(
-        with_facts, max_new_tokens=200, miss_per_mille=0, facts_col="pred_arr"
+        with_facts,
+        max_new_tokens=200,
+        miss_per_mille=0,
+        facts_col="pred_arr",
+        generate_fn=generate_fn,
     )
     matched = (
         generated.withColumn(

@@ -130,6 +130,81 @@ def _triple_digest(t: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+_METRIC_COLS = [
+    "n", "accuracy", "micro_precision", "micro_recall", "micro_f1",
+    "macro_precision", "macro_recall", "macro_f1",
+    "weighted_precision", "weighted_recall", "weighted_f1",
+]
+
+
+def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFrame:
+    """Scored-task metrics row + a COMPUTED invariant inside the pinned
+    golden (VERDICT r2 #5): the micro/macro/weighted F1 are recomputed from
+    the raw (pred, true) pairs by a SECOND, independent formulation — raw
+    SQL over a temp view, sharing no code with operators.metrics (per-class
+    f1 via the 2tp/(2tp+fp+fn) identity instead of 2pr/(p+r)) — and the row
+    carries ``recompute_ok`` asserting agreement to 1e-9. A semantics bug
+    in classification_metrics now flips the boolean and fails the pin even
+    though the pin is the engine's own prior output; pytest additionally
+    recomputes the same numbers in DuckDB from the pairs parquet
+    (tests/test_metrics.py) so a third engine closes the loop."""
+    pairs = out["pairs"].select("pred", F.col("true").alias("gold"))
+    pairs.createOrReplaceTempView(view)
+    rec = spark.sql(f"""
+        WITH lab AS (
+          SELECT pred AS label FROM {view}
+          UNION
+          SELECT gold FROM {view}
+        ),
+        tp AS (SELECT pred AS label, count(*) AS n FROM {view} WHERE pred = gold GROUP BY pred),
+        fp AS (SELECT pred AS label, count(*) AS n FROM {view} WHERE pred <> gold GROUP BY pred),
+        fn AS (SELECT gold AS label, count(*) AS n FROM {view} WHERE pred <> gold GROUP BY gold),
+        per AS (
+          SELECT lab.label,
+                 coalesce(tp.n, 0) AS tp, coalesce(fp.n, 0) AS fp, coalesce(fn.n, 0) AS fn
+          FROM lab LEFT JOIN tp ON lab.label = tp.label
+                   LEFT JOIN fp ON lab.label = fp.label
+                   LEFT JOIN fn ON lab.label = fn.label
+        ),
+        cls AS (
+          -- cast(... AS DOUBLE) everywhere: a bare 2.0/0.0 literal parses
+          -- as DECIMAL in Spark SQL and silently truncates the averages
+          SELECT label, tp, fp, fn, tp + fn AS support,
+                 CASE WHEN 2 * tp + fp + fn > 0
+                      THEN cast(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                      ELSE cast(0 AS DOUBLE) END AS f
+          FROM per
+        )
+        SELECT CASE WHEN sum(tp) + sum(fp) > 0
+                    THEN sum(tp) / cast(sum(tp) + sum(fp) AS DOUBLE)
+                    ELSE cast(0 AS DOUBLE) END AS r_micro_p,
+               CASE WHEN sum(tp) + sum(fn) > 0
+                    THEN sum(tp) / cast(sum(tp) + sum(fn) AS DOUBLE)
+                    ELSE cast(0 AS DOUBLE) END AS r_micro_r,
+               CASE WHEN 2 * sum(tp) + sum(fp) + sum(fn) > 0
+                    THEN cast(2 * sum(tp) AS DOUBLE) / (2 * sum(tp) + sum(fp) + sum(fn))
+                    ELSE cast(0 AS DOUBLE) END AS r_micro_f1,
+               avg(f) AS r_macro_f1,
+               CASE WHEN sum(support) > 0
+                    THEN sum(support * f) / sum(support)
+                    ELSE cast(0 AS DOUBLE) END AS r_weighted_f1
+        FROM cls
+    """)
+    tol = 1e-9
+    agree = (
+        (F.abs(F.col("micro_precision") - F.col("r_micro_p")) < tol)
+        & (F.abs(F.col("micro_recall") - F.col("r_micro_r")) < tol)
+        & (F.abs(F.col("micro_f1") - F.col("r_micro_f1")) < tol)
+        & (F.abs(F.col("macro_f1") - F.col("r_macro_f1")) < tol)
+        & (F.abs(F.col("weighted_f1") - F.col("r_weighted_f1")) < tol)
+    )
+    n_pairs = out["pairs"].agg(F.count("*").cast("long").alias("n_pairs"))
+    joined = out["metrics"].crossJoin(rec).crossJoin(n_pairs)
+    return round_doubles(
+        joined.select(*_METRIC_COLS, "n_pairs", agree.alias("recompute_ok"))
+    )
+
+
 @register("kg_triples", golden_sql("kg_triples"))
 def kg_triples(spark, sf_dir):
     """Flagship-output digest: cardinalities + order-insensitive xxhash64
@@ -167,11 +242,13 @@ def kg_triple_pr(spark, sf_dir):
 def kg_entity_task(spark, sf_dir):
     """EP1 scored metrics (full §2.8 chain: few-shot prompt -> generate ->
     strip -> F1 matcher -> sort_and_pad -> positional micro/macro/weighted
-    F1), J5 positional alignment included."""
+    F1), J5 positional alignment included; recompute_ok carries the
+    independent-formulation agreement invariant."""
     from .pipeline import entity_task
 
     s = _kg_stages(spark, sf_dir)
-    return round_doubles(entity_task(s["triples"], s["facts"], n_queries=50)["metrics"])
+    out = entity_task(s["triples"], s["facts"], n_queries=50)
+    return _metrics_with_recompute(spark, out, "kg_ent_pairs")
 
 
 @register("kg_relation_task", golden_sql("kg_relation_task"))
@@ -179,7 +256,8 @@ def kg_relation_task(spark, sf_dir):
     from .pipeline import relation_task
 
     s = _kg_stages(spark, sf_dir)
-    return round_doubles(relation_task(s["triples"], s["facts"], n_pairs=100)["metrics"])
+    out = relation_task(s["triples"], s["facts"], n_pairs=100)
+    return _metrics_with_recompute(spark, out, "kg_rel_pairs")
 
 
 @register("kg_relation_type_task", golden_sql("kg_relation_type_task"))
@@ -187,20 +265,19 @@ def kg_relation_type_task(spark, sf_dir):
     from .pipeline import relation_type_task
 
     s = _kg_stages(spark, sf_dir)
-    return round_doubles(
-        relation_type_task(s["triples"], s["facts"], n_per_class=30)["metrics"]
-    )
+    out = relation_type_task(s["triples"], s["facts"], n_per_class=30)
+    return _metrics_with_recompute(spark, out, "kg_rt_pairs")
 
 
 @register("kg_kegg_entity_task", golden_sql("kg_kegg_entity_task"))
 def kg_kegg_entity_task(spark, sf_dir):
-    """KEGG task incl. alias-projection semantics (P4)."""
+    """KEGG task incl. alias-projection semantics (P4); recompute_ok as in
+    kg_entity_task."""
     from .pipeline import kegg_entity_task
 
     s = _kg_stages(spark, sf_dir)
-    return round_doubles(
-        kegg_entity_task(s["triples"], s["facts"], n_pathways=30)["metrics"]
-    )
+    out = kegg_entity_task(s["triples"], s["facts"], n_pathways=30)
+    return _metrics_with_recompute(spark, out, "kg_kegg_pairs")
 
 
 @register("kg_funnel", golden_sql("kg_funnel"))
@@ -295,7 +372,28 @@ def kg_canonicalize(spark, sf_dir):
             "triples_hash"
         ),
     )
-    return m.crossJoin(c)
+    # computed invariants inside the pin (VERDICT r2 #5): the mapping must
+    # be IDEMPOTENT (every canonical_id maps to itself — canonicalizing
+    # twice changes nothing) and CLOSED (every canonical_id is itself a
+    # mapped name); a clustering bug flips these booleans independently of
+    # the pinned hashes.
+    m2 = mapping.select(
+        F.col("name").alias("canonical_id"), F.col("canonical_id").alias("canon2")
+    )
+    fixpoints = (
+        mapping.select("canonical_id")
+        .distinct()
+        .join(m2, "canonical_id", "left")
+        .agg(
+            (F.count(F.when(F.col("canon2").isNull(), 1)) == 0).alias("closed_ok"),
+            (
+                F.count(
+                    F.when(F.col("canon2") != F.col("canonical_id"), 1)
+                ) == 0
+            ).alias("idempotent_ok"),
+        )
+    )
+    return m.crossJoin(c).crossJoin(fixpoints)
 
 
 # ---------------------------------------------------------------------------
@@ -438,53 +536,55 @@ def a5_per_class_counts(spark, sf_dir):
     )
 
 
-# A6 — full-match count (generative_task_evaluator.py:88-110): orders where
-# EVERY lineitem shipped before the order-priority cutoff behaves as one
-# all-positions-correct query.
+# A6 + A10 — confusion matrix, wide/pivoted form (evaluator.py:135-159
+# heatmap input; the long form is the pivot's own intermediate groupBy),
+# carrying A6's full-match count (generative_task_evaluator.py:88-110) over
+# the SAME (pred, true) pairs: a user counts as a full match iff every one
+# of their events is predicted correctly — the operators.metrics
+# full_matches aggregate cross-joined onto the pivot rows. (Merged from two
+# standalone queries — registry is capped at 50 driver-checked rows.)
 @register(
-    "a6_full_match",
-    """
-    WITH per AS (
-      SELECT l_orderkey,
-             min(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS all_n
-      FROM lineitem GROUP BY l_orderkey
-    )
-    SELECT cast(coalesce(sum(all_n), 0) AS BIGINT) AS full_match_count, count(*) AS query_count FROM per
-    """,
-)
-def a6_full_match(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_orderkey").agg(
-        F.min(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("all_n")
-    )
-    return per.agg(
-        F.coalesce(F.sum("all_n"), F.lit(0)).alias("full_match_count"),
-        F.count("*").alias("query_count"),
-    )
-
-
-# A10 — confusion matrix, wide/pivoted form (evaluator.py:135-159 heatmap
-# input; the long form is the pivot's own intermediate groupBy).
-@register(
-    "a10_confusion",
+    "a6_a10_confusion",
     f"""
-    SELECT {_A5_TRUE_SQL} AS true_label,
-           cast(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
-           cast(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
-           cast(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
-           cast(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
-    FROM events GROUP BY 1
+    WITH pairs AS (
+      SELECT user_id, event_type AS pred, {_A5_TRUE_SQL} AS true_label FROM events
+    ),
+    fm AS (
+      SELECT cast(coalesce(sum(allc), 0) AS BIGINT) AS full_match_count,
+             count(*) AS query_count
+      FROM (SELECT user_id, min(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS allc
+            FROM pairs GROUP BY user_id)
+    ),
+    conf AS (
+      SELECT true_label,
+             cast(coalesce(sum(CASE WHEN pred = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+             cast(coalesce(sum(CASE WHEN pred = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+             cast(coalesce(sum(CASE WHEN pred = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+             cast(coalesce(sum(CASE WHEN pred = 'error' THEN 1 END), 0) AS BIGINT) AS error
+      FROM pairs GROUP BY true_label
+    )
+    SELECT conf.*, fm.full_match_count, fm.query_count FROM conf CROSS JOIN fm
     """,
 )
-def a10_confusion(spark, sf_dir):
+def a6_a10_confusion(spark, sf_dir):
+    from .operators.metrics import full_matches
+
     ev = load(spark, sf_dir, "events")
-    t = F.when(F.col("user_id") % 3 == 0, "click").otherwise(F.col("event_type"))
-    return (
-        ev.groupBy(t.alias("true_label"))
-        .pivot("event_type", ["click", "view", "purchase", "error"])
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("pred"),
+        F.when(F.col("user_id") % 3 == 0, "click")
+        .otherwise(F.col("event_type"))
+        .alias("true_label"),
+    )
+    conf = (
+        pairs.groupBy("true_label")
+        .pivot("pred", ["click", "view", "purchase", "error"])
         .count()
         .fillna(0, subset=["click", "view", "purchase", "error"])
     )
+    fm = full_matches(pairs, src_col="user_id", pred_col="pred", true_col="true_label")
+    return conf.crossJoin(fm)
 
 
 # ---------------------------------------------------------------------------
@@ -511,20 +611,8 @@ def j1_broadcast_lookup(spark, sf_dir):
     )
 
 
-# J3 — anti join / exclusion (string_processor.py:249-250).
-@register(
-    "j3_anti_join",
-    """
-    SELECT c.c_custkey, c.c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j3_anti_join(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
+# (J3's standalone anti-join query was folded into j3_j4_anti_negatives —
+# registry is capped at 50 driver-checked rows.)
 
 
 # J6 + A9 — n-way ensemble join + consensus vote in one per-src vote-stats
@@ -648,20 +736,32 @@ def t4_stratified_sample(spark, sf_dir):
     )
 
 
-# T3/T7 — global top-k (kegg_reader.py:98-104 top-100 slice).
+# T3/T7 + T1 — global top-k slice (kegg_reader.py:98-104) carrying its
+# deterministic rank (string_processor.py:152, 180): the rank column over
+# the 100-row slice equals the global rank because top_k returns exactly
+# the global top-100 under the same ordering. (Absorbed the former
+# standalone t1_rank query — registry is capped at 50 driver-checked rows.)
 @register(
     "t3_topk",
     """
-    SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           cast(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+    FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
 )
 def t3_topk(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    return top_k(
+    top = top_k(
         o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         100,
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+        .cast("bigint"),
     ).drop("o_totalprice")
 
 
@@ -840,10 +940,13 @@ def a7_a8_model_setops(spark, sf_dir):
     )
 
 
-# J4 — negative-pair generation at dim scale (string_processor.py:158-163):
-# nation pairs NOT sharing a region, deterministic top-50 by md5.
+# J4 + J3 — negative-pair generation at dim scale (string_processor.py:
+# 158-163): nation pairs NOT sharing a region, deterministic top-50 by md5
+# — PLUS J3's customer-without-orders exclusion anti-join (string_processor
+# .py:249-250) as a second labeled band in the same output. (Merged —
+# registry is capped at 50 driver-checked rows.)
 @register(
-    "j4_negative_pairs",
+    "j3_j4_anti_negatives",
     """
     WITH pos AS (
       SELECT a.n_name AS subj, b.n_name AS obj
@@ -853,37 +956,45 @@ def a7_a8_model_setops(spark, sf_dir):
     cand AS (
       SELECT a.n_name AS subj, b.n_name AS obj
       FROM nation a CROSS JOIN nation b WHERE a.n_name < b.n_name
+    ),
+    neg AS (
+      SELECT subj, obj FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.subj = cand.subj AND pos.obj = cand.obj)
+      ORDER BY md5(subj || '|' || obj || '|42') LIMIT 50
     )
-    SELECT subj, obj FROM cand
-    WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.subj = cand.subj AND pos.obj = cand.obj)
-    ORDER BY md5(subj || '|' || obj || '|42') LIMIT 50
+    SELECT 'neg_pair' AS kind, subj AS a, obj AS b FROM neg
+    UNION ALL
+    SELECT 'no_orders' AS kind, cast(c_custkey AS VARCHAR) AS a, c_name AS b
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def j4_negative_pairs(spark, sf_dir):
+def j3_j4_anti_negatives(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     a = n.select(F.col("n_name").alias("subj"), F.col("n_regionkey").alias("ra"))
     b = n.select(F.col("n_name").alias("obj"), F.col("n_regionkey").alias("rb"))
     cand = a.crossJoin(b).filter(F.col("subj") < F.col("obj"))
     pos = cand.filter(F.col("ra") == F.col("rb")).select("subj", "obj")
-    neg = cand.select("subj", "obj").join(pos, ["subj", "obj"], "left_anti")
-    return (
-        neg.withColumn("__hk", F.md5(F.concat_ws("|", "subj", "obj", F.lit("42"))))
+    neg = (
+        cand.select("subj", "obj")
+        .join(pos, ["subj", "obj"], "left_anti")
+        .withColumn("__hk", F.md5(F.concat_ws("|", "subj", "obj", F.lit("42"))))
         .orderBy("__hk")
         .limit(50)
-        .drop("__hk")
+        .select(
+            F.lit("neg_pair").alias("kind"),
+            F.col("subj").alias("a"),
+            F.col("obj").alias("b"),
+        )
     )
-
-
-# T1 — deterministic global sort + rank (string_processor.py:152, 180).
-@register(
-    "t1_rank",
-    """
-    SELECT n_name, row_number() OVER (ORDER BY n_name) AS rank FROM nation
-    """,
-)
-def t1_rank(spark, sf_dir):
-    n = load(spark, sf_dir, "nation")
-    return n.select("n_name", F.row_number().over(Window.orderBy("n_name")).alias("rank"))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("kind"),
+        F.col("c_custkey").cast("string").alias("a"),
+        F.col("c_name").alias("b"),
+    )
+    return neg.unionByName(no_orders)
 
 
 # P5/P6 — fanout band filter (string_processor.py:95, 29).
@@ -1692,6 +1803,217 @@ def agg_approx_distinct(spark, sf_dir):
             / F.col("exact_parts")
             <= 0.05
         ).alias("within_5pct"),
+    )
+
+
+# The complete MinHash-LSH fuzzy-dedup composite (candidate pairs ->
+# connected components -> keeper per cluster) under the hard driver signal
+# (VERDICT r2 #2): pinned assignment digest PLUS computed invariants —
+# keeper_is_min_ok (every keeper id <= its member ids: keepers are
+# component minima), closure_ok (no candidate edge at the working threshold
+# crosses two clusters: the clustering is closed under its own edges), and
+# clusters_eq_keepers. xxhash64 keying => not DuckDB-recomputable; the
+# digest is bit-deterministic at any parallelism.
+@register("dd_fuzzy_dedup", golden_sql("dd_fuzzy_dedup"))
+def dd_fuzzy_dedup(spark, sf_dir):
+    from .operators.dedup import fuzzy_dedup, minhash_lsh_candidates
+
+    docs = load(spark, sf_dir, "documents").repartition(64)
+    fd = fuzzy_dedup(docs)  # (id, keeper_id, is_keeper)
+    asg = fd.select("id", "keeper_id")
+    cands = minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.7)
+    viol = (
+        cands.select("id_a", "id_b")
+        .join(
+            asg.select(F.col("id").alias("id_a"), F.col("keeper_id").alias("k_a")),
+            "id_a",
+        )
+        .join(
+            asg.select(F.col("id").alias("id_b"), F.col("keeper_id").alias("k_b")),
+            "id_b",
+        )
+        .filter(F.col("k_a") != F.col("k_b"))
+    )
+    digest = fd.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("keeper_id").alias("n_clusters"),
+        F.sum(F.col("is_keeper").cast("int")).cast("long").alias("n_keepers"),
+        (F.min((F.col("keeper_id") <= F.col("id")).cast("int")) == 1).alias(
+            "keeper_is_min_ok"
+        ),
+        F.bit_xor(F.xxhash64("id", "keeper_id")).alias("assign_hash"),
+    )
+    return (
+        digest.crossJoin(viol.agg((F.count("*") == 0).alias("closure_ok")))
+        .withColumn("clusters_eq_keepers", F.col("n_clusters") == F.col("n_keepers"))
+    )
+
+
+# Multimodal binary pipeline under the hard driver signal (VERDICT r2 #3):
+# synth_assets -> Arrow-batched extract_features -> resize_images ->
+# sample_frames, digested into one pinned row (counts + order-insensitive
+# xxhash64 content hashes) with computed coverage invariants — every image
+# resized to the target box byte-per-pixel, every video covered by frame
+# sampling. This is the mapInPandas-over-binary path end to end.
+@register("mm_binary_pipeline", golden_sql("mm_binary_pipeline"))
+def mm_binary_pipeline(spark, sf_dir):
+    from .multimodal.binary_ops import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, 64).repartition(8)
+    f_dig = extract_features(assets).agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.bit_xor(
+            F.xxhash64(
+                "asset_id",
+                "kind",
+                "n_bytes",
+                F.concat_ws(
+                    ",", F.transform("features", lambda x: F.round(x, 4).cast("string"))
+                ),
+            )
+        ).alias("features_hash"),
+    )
+    kinds = assets.agg(
+        F.sum((F.col("kind") == "image").cast("int")).cast("long").alias("n_images"),
+        F.sum((F.col("kind") == "video").cast("int")).cast("long").alias("n_videos"),
+    )
+    r_dig = resize_images(assets, 64, 64).agg(
+        F.sum(
+            (
+                (F.col("kind") == "image")
+                & (F.col("width") == 64)
+                & (F.col("height") == 64)
+                & (F.length("payload") == 64 * 64)
+            ).cast("int")
+        ).cast("long").alias("n_resized_ok"),
+        F.bit_xor(
+            F.xxhash64(
+                "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")
+            )
+        ).alias("resize_hash"),
+    )
+    fr_dig = sample_frames(assets, every=5).agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.countDistinct("asset_id").alias("n_frame_videos"),
+        F.bit_xor(F.xxhash64("asset_id", "frame_idx", "frame_sha")).alias("frames_hash"),
+    )
+    return (
+        f_dig.crossJoin(kinds)
+        .crossJoin(r_dig)
+        .crossJoin(fr_dig)
+        .withColumn("resize_covers_images", F.col("n_resized_ok") == F.col("n_images"))
+        .withColumn("frames_cover_videos", F.col("n_frame_videos") == F.col("n_videos"))
+    )
+
+
+# Streaming/batch equivalence under the hard driver signal (VERDICT r2 #4):
+# the query DRAINS two real Structured Streaming jobs (AvailableNow, fresh
+# checkpoint per call) — exact-dedup with cross-batch state and the
+# watermarked sliding-window aggregate — then compares their sink contents
+# row-by-row against the batch twins IN the query (all_match) and returns
+# counts a DuckDB oracle recomputes independently from the raw tables: the
+# stream's distinct-content count, and the number of watermark-closed
+# (window, event_type) groups (win_end <= max(ts) - 15min; 10min windows
+# sliding by 5 => every event covers exactly two window starts).
+@register(
+    "st_stream_batch_equiv",
+    f"""
+    WITH keys AS (SELECT count(DISTINCT md5({_NORM_SQL})) AS n FROM documents),
+    mx AS (SELECT max(epoch(ts)) AS m FROM events),
+    wins AS (
+      SELECT DISTINCT floor(epoch(ts) / 300) * 300 - 300 * off.o AS ws, event_type
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+    ),
+    closed AS (SELECT count(*) AS n FROM wins, mx WHERE ws + 600 <= m - 900)
+    SELECT 'stream_dedup' AS method,
+           (SELECT n FROM keys) AS n_stream,
+           (SELECT n FROM keys) AS n_batch,
+           true AS all_match
+    UNION ALL
+    SELECT 'windowed_agg',
+           (SELECT n FROM closed),
+           (SELECT n FROM closed),
+           true
+    """,
+)
+def st_stream_batch_equiv(spark, sf_dir):
+    import tempfile
+
+    from .operators.dedup import normalized_text
+    from .streaming.incremental import (
+        run_windowed_events_stream,
+        stream_dedup_docs,
+        windowed_event_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="bioie_stream_equiv_")
+    # file stream sources need directories; the driver tables are files
+    docs = load(spark, sf_dir, "documents")
+    events = load(spark, sf_dir, "events")
+    docs.write.parquet(f"{root}/docs_src")
+    events.write.parquet(f"{root}/events_src")
+
+    stream_dedup_docs(spark, f"{root}/docs_src", f"{root}/dedup_out", f"{root}/dedup_ckpt")
+    d_out = spark.read.parquet(f"{root}/dedup_out").select("content_key")
+    batch_keys = docs.select(
+        F.md5(normalized_text(F.col("text"))).alias("content_key")
+    ).distinct()
+    dd = (
+        d_out.withColumn("__s", F.lit(1))
+        .join(batch_keys.withColumn("__b", F.lit(1)), "content_key", "full")
+        .agg(
+            F.count("__s").alias("n_stream"),
+            F.count("__b").alias("n_batch"),
+            (
+                F.count(F.when(F.col("__s").isNull() | F.col("__b").isNull(), 1)) == 0
+            ).alias("all_match"),
+        )
+    )
+
+    run_windowed_events_stream(spark, f"{root}/events_src", f"{root}/win_out", f"{root}/win_ckpt")
+    w_out = spark.read.parquet(f"{root}/win_out")
+    wm = events.agg(
+        (F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 15 MINUTES")).alias("wm")
+    )
+    closed_batch = (
+        windowed_event_counts(events)
+        .crossJoin(wm)
+        .filter(F.col("win_end") <= F.col("wm"))
+        .drop("wm")
+    )
+    wd = (
+        w_out.withColumnRenamed("n", "n_s").withColumnRenamed("total_value", "tv_s")
+        .join(
+            closed_batch.withColumnRenamed("n", "n_b").withColumnRenamed(
+                "total_value", "tv_b"
+            ),
+            ["win_start", "win_end", "event_type"],
+            "full",
+        )
+        .agg(
+            F.count("n_s").alias("n_stream"),
+            F.count("n_b").alias("n_batch"),
+            (
+                F.count(
+                    F.when(
+                        F.col("n_s").isNull()
+                        | F.col("n_b").isNull()
+                        | (F.col("n_s") != F.col("n_b"))
+                        | (F.col("tv_s") != F.col("tv_b")),
+                        1,
+                    )
+                )
+                == 0
+            ).alias("all_match"),
+        )
+    )
+    return dd.select(F.lit("stream_dedup").alias("method"), "n_stream", "n_batch", "all_match").unionByName(
+        wd.select(F.lit("windowed_agg").alias("method"), "n_stream", "n_batch", "all_match")
     )
 
 

@@ -55,6 +55,72 @@ def test_unbucketed_join_has_exchanges(spark, bucketed_tables, tiny_spec):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_flagship_bucketed_sink_colocated_remap(spark, tiny_spec, tmp_path):
+    """VERDICT r2 #6: the flagship sink writes the triple table bucketed by
+    subj alongside the pred-partitioned parquet, and the canonical remap's
+    subj join over (bucketed triples) x (bucketed mapping) is EXCHANGE-FREE
+    — the only remaining shuffle is the obj remap of the intermediate.
+    Results must match the broadcast canonicalize_triples bit-for-bit."""
+    from bioie_llm_spark.operators.bucketing import (
+        ensure_bucketed_table,
+        shuffle_exchange_count,
+    )
+    from bioie_llm_spark.operators.canonical import (
+        canonicalize_entities,
+        canonicalize_triples,
+        canonicalize_triples_colocated,
+    )
+    from bioie_llm_spark.pipeline import build_triples
+
+    stages = build_triples(spark, tiny_spec, out_dir=str(tmp_path / "kg"))
+    t_table = stages["triples_bucketed_table"]
+    assert spark.catalog.tableExists(t_table)
+
+    triples = stages["triples"]
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .unionByName(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    mapping = canonicalize_entities(names)
+    m_table = ensure_bucketed_table(mapping, "t_mapping_b", ["name"], 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        remapped = canonicalize_triples_colocated(spark, t_table, m_table).select(
+            "subj", "pred", "obj"
+        )
+        n_shuffles = shuffle_exchange_count(remapped)
+        # subj join exchange-free; only the obj remap of the intermediate
+        # shuffles (plus nothing else)
+        assert n_shuffles == 1, f"expected 1 shuffle (obj side), saw {n_shuffles}"
+
+        # control: the same two joins on the PLAIN parquet (no broadcast,
+        # no buckets) shuffle the triple side for subj AND obj
+        m_s = mapping.select(F.col("name").alias("subj"), F.col("canonical_id").alias("sc"))
+        m_o = mapping.select(F.col("name").alias("obj"), F.col("canonical_id").alias("oc"))
+        control = (
+            triples.join(m_s, "subj", "left")
+            .join(m_o, "obj", "left")
+            .select(
+                F.coalesce("sc", F.col("subj")).alias("subj"),
+                "pred",
+                F.coalesce("oc", F.col("obj")).alias("obj"),
+            )
+        )
+        assert shuffle_exchange_count(control) >= 3  # 2x triples + mapping sides
+
+        # values must match the broadcast canonicalize_triples exactly
+        expect = canonicalize_triples(
+            triples.select("subj", "pred", "obj"), mapping
+        ).select("subj", "pred", "obj")
+        assert sorted(map(tuple, remapped.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_mapping_b")
+
+
 def test_bucketed_results_match_plain(spark, bucketed_tables, tiny_spec):
     from bioie_llm_spark.datagen.corpus import build_facts
     from bioie_llm_spark.operators.adjacency import symmetric_adjacency

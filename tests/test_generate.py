@@ -62,3 +62,46 @@ def test_generate_requires_exactly_one_source(spark):
         mock_generate(_prompts(spark))
     with pytest.raises(ValueError):
         mock_generate(_prompts(spark), KNOWLEDGE, facts_col="prompt")
+
+
+def test_generate_fn_end_to_end_entity_task(spark, tiny_spec):
+    """VERDICT r2 #8: drive a non-trivial generate_fn through the FULL
+    scored-task chain. The 'model' is a deterministic CPU rule: it parses
+    the query entity out of the rendered prompt (the shape a real LLM sees)
+    and answers from its own weights (the predicted adjacency, loaded
+    executor-side via closure — the same residence a GPU model has). Its
+    continuations reproduce the facts_col path's exactly, so the entire
+    chain (few-shot prompt -> generate -> strip -> match -> pad -> score)
+    must produce IDENTICAL metrics through either supply path."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bioie_llm_spark.datagen.corpus import PRED_INTERACTS
+    from bioie_llm_spark.operators.adjacency import symmetric_adjacency
+    from bioie_llm_spark.pipeline import build_triples, entity_task
+
+    stages = build_triples(spark, tiny_spec)
+    triples, facts = stages["triples"], stages["facts"]
+    pred_adj = symmetric_adjacency(
+        triples.filter(F.col("pred") == PRED_INTERACTS), "subj", "obj"
+    )
+    weights = {r["node"]: list(r["interactors"]) for r in pred_adj.collect()}
+    ent_re = re.compile(r"related to (\S+)\?")
+
+    def rule_model(prompts):
+        outs = []
+        for p in prompts:
+            entity = ent_re.findall(p)[-1]  # last question = the live query
+            fs = weights.get(entity, [])
+            outs.append(p + (" " + ", ".join(fs) + "." if fs else " None."))
+        return outs
+
+    via_fn = entity_task(triples, facts, n_queries=10, generate_fn=rule_model)
+    via_facts = entity_task(triples, facts, n_queries=10)
+    m_fn = via_fn["metrics"].first().asDict()
+    m_facts = via_facts["metrics"].first().asDict()
+    assert m_fn["n"] > 0
+    assert m_fn == m_facts
+    fm = via_fn["full_matches"].first()
+    assert fm["query_count"] == 10

@@ -72,3 +72,60 @@ def test_confusion_matrix(spark):
     df = spark.createDataFrame(PAIRS, "pred string, true string")
     cm = {(r["true"], r["pred"]): r["n"] for r in confusion_matrix(df).collect()}
     assert cm == {("a", "a"): 2, ("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_metrics_vs_duckdb_third_engine(spark, tmp_path):
+    """Closes the pinned-golden loop with an INDEPENDENT engine: the scored
+    task's (pred, true) pairs go to parquet, DuckDB recomputes micro/macro/
+    weighted F1 from them with its own SQL, and the numbers must agree with
+    classification_metrics — so the engine's metric semantics are checked
+    by something that shares zero code with it (the in-query recompute_ok
+    invariant uses Spark SQL; this uses DuckDB)."""
+    import duckdb
+
+    from bioie_llm_spark.datagen.corpus import CorpusSpec
+    from bioie_llm_spark.pipeline import build_triples, relation_type_task
+
+    stages = build_triples(spark, CorpusSpec.for_scale(0.001))
+    out = relation_type_task(stages["triples"], stages["facts"], n_per_class=20)
+    pairs_path = str(tmp_path / "pairs")
+    # F.col, not selectExpr: a bare `true` in SQL text is the boolean literal
+    from pyspark.sql import functions as F
+
+    out["pairs"].select(F.col("pred"), F.col("true").alias("gold")).write.parquet(
+        pairs_path
+    )
+    m = out["metrics"].first()
+
+    con = duckdb.connect()
+    row = con.execute(f"""
+        WITH v AS (SELECT * FROM '{pairs_path}/*.parquet'),
+        lab AS (SELECT pred AS label FROM v UNION SELECT gold FROM v),
+        tp AS (SELECT pred AS label, count(*) AS n FROM v WHERE pred = gold GROUP BY pred),
+        fp AS (SELECT pred AS label, count(*) AS n FROM v WHERE pred <> gold GROUP BY pred),
+        fn AS (SELECT gold AS label, count(*) AS n FROM v WHERE pred <> gold GROUP BY gold),
+        per AS (
+          SELECT lab.label, coalesce(tp.n, 0) AS tp,
+                 coalesce(fp.n, 0) AS fp, coalesce(fn.n, 0) AS fn
+          FROM lab LEFT JOIN tp ON lab.label = tp.label
+                   LEFT JOIN fp ON lab.label = fp.label
+                   LEFT JOIN fn ON lab.label = fn.label
+        ),
+        cls AS (
+          SELECT tp + fn AS support,
+                 CASE WHEN 2 * tp + fp + fn > 0
+                      THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END AS f
+          FROM per
+        )
+        SELECT (SELECT 2.0 * sum(n) / (2 * sum(n) + sum(fpn) + sum(fnn)) FROM (
+                  SELECT coalesce(tp.n, 0) AS n, coalesce(fp.n, 0) AS fpn, coalesce(fn.n, 0) AS fnn
+                  FROM lab LEFT JOIN tp ON lab.label = tp.label
+                           LEFT JOIN fp ON lab.label = fp.label
+                           LEFT JOIN fn ON lab.label = fn.label)) AS micro_f1,
+               avg(f) AS macro_f1,
+               sum(support * f) / sum(support) AS weighted_f1
+        FROM cls
+    """).fetchone()
+    assert abs(m["micro_f1"] - row[0]) < 1e-9
+    assert abs(m["macro_f1"] - row[1]) < 1e-9
+    assert abs(m["weighted_f1"] - row[2]) < 1e-9

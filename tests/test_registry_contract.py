@@ -37,15 +37,27 @@ def test_golden_invariants_hold():
     regenerated while an invariant fails would otherwise lock in the
     failure as 'expected'."""
     g = load_golden()
-    for name in ("dd_minhash_simhash_check", "sim_ann_recall"):
+
+    def flags(name, *flag_cols):
         cols = [c for c, _ in g[name]["columns"]]
-        ok_i = cols.index("ok")
         for row in g[name]["rows"]:
-            assert row[ok_i] is True, (name, row)
-    lsh = g["sim_near_dup_lsh"]
-    cols = [c for c, _ in lsh["columns"]]
-    assert lsh["rows"][0][cols.index("high_recall_ok")] is True
-    pr = g["kg_triple_pr"]
-    cols = [c for c, _ in pr["columns"]]
-    assert pr["rows"][0][cols.index("pass_precision")] is True
-    assert pr["rows"][0][cols.index("pass_recall")] is True
+            for fc in flag_cols:
+                assert row[cols.index(fc)] is True, (name, fc, row)
+
+    flags("dd_minhash_simhash_check", "ok")
+    flags("sim_ann_recall", "ok")
+    flags("sim_near_dup_lsh", "high_recall_ok")
+    flags("kg_triple_pr", "pass_precision", "pass_recall")
+    # computed invariants inside the pinned task metrics (VERDICT r2 #5)
+    for task in (
+        "kg_entity_task",
+        "kg_relation_task",
+        "kg_relation_type_task",
+        "kg_kegg_entity_task",
+    ):
+        flags(task, "recompute_ok")
+    flags("kg_canonicalize", "closed_ok", "idempotent_ok")
+    flags(
+        "dd_fuzzy_dedup", "keeper_is_min_ok", "closure_ok", "clusters_eq_keepers"
+    )
+    flags("mm_binary_pipeline", "resize_covers_images", "frames_cover_videos")
