@@ -1,6 +1,14 @@
 """Cross-model report composition (result_comparer.py:105-128 semantics)."""
 
-from bioie_llm_spark.report import confusion_pivot, model_comparison, render_confusion
+import struct
+import zlib
+
+from bioie_llm_spark.report import (
+    confusion_png,
+    confusion_pivot,
+    model_comparison,
+    render_confusion,
+)
 
 # three models over four srcs, gold = a,a,b,b
 M1 = [("s1", "a", "a"), ("s2", "a", "a"), ("s3", "b", "b"), ("s4", "a", "b")]
@@ -47,6 +55,48 @@ def test_confusion_pivot_and_render(spark):
     text = render_confusion(df)
     assert "true_label" in text.splitlines()[0]
     assert len(text.splitlines()) == 3
+
+
+def test_confusion_png(spark, tmp_path):
+    """The stdlib PNG artifact (evaluator.py:135-159 analog): structurally
+    valid PNG, correct dimensions, and the cell raster decodes to the
+    viridis extremes for the max-count and zero-count cells."""
+    df = spark.createDataFrame(M1, "src string, pred string, true string")
+    path = str(tmp_path / "cm.png")
+    vocab = confusion_png(df, path, labels=["A", "B", "zzz"])
+    assert vocab == ["a", "b"]  # lowercased; 'zzz' absent from the data
+    blob = open(path, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", blob[16:24])
+    cell, margin = 48, 24
+    assert (w, h) == (margin + 2 * cell, margin + 2 * cell)
+    # decode IDAT and spot-check cell-center colors
+    idat_off = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
+    stride = 1 + 3 * w
+
+    def px(x, y):
+        base = y * stride + 1 + 3 * x
+        return tuple(raw[base : base + 3])
+
+    # (true=a, pred=a) holds the max count 2 -> viridis(1.0) = bright yellow
+    cx, cy = margin + cell // 4, margin + cell // 4
+    assert px(cx, cy) == (253, 231, 37)
+    # (true=a, pred=b) is 0 -> viridis(0.0) = dark purple
+    assert px(margin + cell + cell // 4, cy) == (68, 1, 84)
+    # legend sidecar maps indices to labels
+    legend = open(path + ".labels.txt").read().splitlines()
+    assert legend == ["idx\tlabel", "0\ta", "1\tb"]
+
+
+def test_confusion_png_null_and_discovered(spark, tmp_path):
+    """Discovered-label mode: nulls coalesce to 'none' and join the vocab."""
+    rows = [("s1", "a", "a"), ("s2", None, "a")]
+    df = spark.createDataFrame(rows, "src string, pred string, true string")
+    path = str(tmp_path / "cm2.png")
+    vocab = confusion_png(df, path)
+    assert vocab == ["a", "none"]
 
 
 def test_cross_family_task_report(spark, tiny_spec):
