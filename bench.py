@@ -51,6 +51,7 @@ HEADLINE = [
     "txt_profile",
     "cc_components",
     "sess_gap_sessions",
+    "cur_contamination",
 ]
 
 
@@ -227,6 +228,16 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     ).count()
     gen_sec = time.time() - t0
     timings["kg_generate_fn"] = round(gen_sec, 3)
+
+    # --- sequence packing (registry-external: FFD has no SQL oracle —
+    # correctness lives in test_curation's invariants): docs into 512-token
+    # bins, hash-salted groups, one applyInPandas pass.
+    from bioie_llm_spark.operators.curation import pack_sequences
+
+    pack_sequences(w_docs, max_tokens=512, n_groups=64).count()  # warm
+    t0 = time.time()
+    pack_sequences(docs, max_tokens=512, n_groups=64).count()
+    timings["cur_pack_sequences"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
         fn, _ = REGISTRY[name]

@@ -1,0 +1,250 @@
+"""Training-data curation operators: benchmark-contamination screening,
+temperature-weighted source mixing, and token-budget sequence packing.
+
+No reference analog (the reference stops at extraction/evaluation); these
+are the corpus-prep operations a 100 TB pretraining pipeline runs between
+dedup and training, built on the same primitives as the rest of the
+engine:
+
+- contamination_check: the n-gram train/eval overlap screen (the GPT-3 /
+  PaLM decontamination recipe). Eval benchmarks are small (MBs), so their
+  gram set is a broadcast side; the corpus side is one explode + one
+  map-side-combinable groupBy on the doc key — no corpus-sized shuffle of
+  anything wider than (id, gram-hit counts).
+- source_mix_targets / mix_sources: per-source quota sampling with a
+  temperature knob (w_i ~ count_i^(1/T)); deterministic via the engine's
+  md5 hash-order convention (operators.sampling), so the same mixture is
+  drawn at any parallelism. One window shuffle on the source key.
+- pack_sequences: first-fit-decreasing packing of documents into
+  max_tokens bins, parallelized by hash-salting docs into independent
+  groups packed locally (packing is sequential only WITHIN a group, and
+  group count scales with the cluster). Deterministic: group assignment
+  and within-group order are hash-derived, not partition-derived.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .dedup import word_shingles
+from .sampling import SEED, hash_order_key
+
+
+# ---------------------------------------------------------------- contamination
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the doc's
+    distinct word n-grams that appear anywhere in the benchmark corpus.
+
+    Returns (id, n_grams, n_hit, contamination, contaminated) — one row
+    per input doc (zero-gram docs kept with ratio 0.0). ``contaminated``
+    is ``contamination >= threshold``; training pipelines drop or flag
+    those rows before the training mix is drawn.
+
+    Scale shape: the benchmark gram set is distinct-ed then broadcast
+    (eval sets are tiny next to the corpus); the corpus is exploded to
+    (id, gram) and re-aggregated on the id key only — partial aggregation
+    collapses each doc's grams map-side, so the one shuffle moves a row
+    per document, not per gram.
+    """
+    # word_shingles of an empty text is [''] (slice semantics shared with
+    # the dedup oracle); an empty gram is not evidence of overlap, so both
+    # sides drop it and zero-token docs report 0 grams.
+    nonempty = lambda col: F.filter(col, lambda g: g != "")
+    grams = docs.select(
+        F.col(id_col), nonempty(word_shingles(F.col(text_col), n)).alias("grams")
+    )
+    ex = grams.select(
+        id_col,
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("g"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(nonempty(word_shingles(F.col(bench_text_col), n))).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit")
+    out = (
+        ex.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(hit)
+    )
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        F.round(ratio, 4).alias("contamination"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------- source mixing
+def source_mix_targets(
+    docs: DataFrame,
+    total: int,
+    temperature: float = 1.0,
+    source_col: str = "source",
+) -> dict[str, tuple[int, int]]:
+    """Per-source (count, target) quotas for a ``total``-doc mixture with
+    sampling weight ``w_i = count_i ** (1/temperature)`` (T < 1 sharpens
+    toward big sources, T > 1 flattens — the multilingual-mixing knob).
+    Bounded collect: one row per source. Integral ``1/temperature``
+    (e.g. T = 0.5 or 1.0) stays in exact integer arithmetic so the quota
+    is bit-reproducible by any engine; fractional exponents use floats.
+    """
+    counts = {
+        r["src"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    k = 1.0 / temperature
+    if float(k).is_integer():
+        weights = {s: c ** int(k) for s, c in counts.items()}
+        sw = sum(weights.values())
+        return {
+            s: (counts[s], min(counts[s], total * w // sw))
+            for s, w in weights.items()
+        }
+    weights = {s: float(c) ** k for s, c in counts.items()}
+    sw = sum(weights.values())
+    return {
+        s: (counts[s], min(counts[s], int(total * w / sw)))
+        for s, w in weights.items()
+    }
+
+
+def mix_sources(
+    docs: DataFrame,
+    targets: dict[str, tuple[int, int]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = SEED,
+) -> DataFrame:
+    """Draw the mixture: within each source, rank docs by the portable
+    md5 hash order and keep the first ``target`` rows. Deterministic at
+    any parallelism (sampling-module rationale); one window shuffle keyed
+    on source — for a corpus whose largest source skews that shuffle, the
+    zero-shuffle alternative is a hash-threshold filter (keep rows whose
+    hash < target/count quantile), trading exact counts for expected ones.
+
+    Returns the sampled rows as (id, source, rn).
+    """
+    quota = F.create_map(
+        *[x for s, (_, t) in sorted(targets.items()) for x in (F.lit(s), F.lit(int(t)))]
+    )
+    w = Window.partitionBy(source_col).orderBy(hash_order_key([id_col], seed))
+    return (
+        docs.select(id_col, source_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota[F.col(source_col)])
+    )
+
+
+# -------------------------------------------------------------------- packing
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into training-sequence bins of at most ``max_tokens``
+    whitespace tokens via first-fit-decreasing, parallelized by salting
+    docs into ``n_groups`` independent packing groups.
+
+    Packing is inherently sequential, so the distributed shape is
+    group-local: group = xxhash64(id) % n_groups (hash-derived, NOT
+    partition-derived — bit-identical at any parallelism), then one
+    applyInPandas pass packs each group with FFD over (tokens desc, id).
+    Bin ids are globally unique as group * 2^32 + local bin index. A doc
+    longer than the budget gets a dedicated oversize bin (flagged, never
+    silently truncated). Size n_groups to the cluster: bins never cross
+    groups, so utilization converges to the single-machine packing as
+    group populations grow.
+
+    Returns (id, group, bin_id, n_tokens, oversize).
+    """
+    from ..functions.text import token_count
+
+    sized = docs.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).alias("group"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        group = int(pdf["group"].iloc[0])
+        bins: list[int] = []  # remaining capacity per local bin
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if tok > max_tokens:
+                bins.append(-1)  # dedicated, closed bin
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for b, cap in enumerate(bins):
+                if cap >= tok:
+                    bins[b] = cap - tok
+                    assign.append(b)
+                    break
+            else:
+                bins.append(max_tokens - tok)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        pdf["bin_id"] = [group * (1 << 32) + b for b in assign]
+        pdf["oversize"] = oversize
+        return pdf[["id", "group", "bin_id", "n_tokens", "oversize"]]
+
+    id_type = sized.schema["id"].dataType.simpleString()
+    schema = f"id {id_type}, group bigint, bin_id bigint, n_tokens int, oversize boolean"
+    return sized.groupBy("group").applyInPandas(pack, schema=schema)
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row packing audit: doc/bin counts, budget violations (must be 0
+    outside oversize bins), and mean bin utilization."""
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("oversize"),
+    )
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum(
+            (
+                (F.col("bin_tokens") > max_tokens)
+                & (F.col("oversize") == 0)
+            ).cast("int")
+        ).alias("n_violations"),
+        F.sum("oversize").alias("n_oversize_bins"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("oversize") == 0,
+                    F.col("bin_tokens") / F.lit(float(max_tokens)),
+                )
+            ),
+            4,
+        ).alias("mean_utilization"),
+    )

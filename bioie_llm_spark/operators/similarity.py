@@ -162,6 +162,24 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: md5-ordered sample of corpus vectors
+    — a stand-in for k-means that keeps everything RNG-free. Bounded
+    collect (n_centroids rows)."""
+    return [
+        list(r["__v"])
+        for r in corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__i"))
+        .orderBy(F.md5(F.concat(F.col("__i").cast("string"), F.lit("|ivf"))))
+        .limit(n_centroids)
+        .collect()
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,19 +191,12 @@ def ivf_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF-flat approximate top-k: deterministic coarse centroids
-    (md5-ordered sample of corpus vectors — a stand-in for k-means that
-    keeps everything RNG-free), per-row cell assignment, queries probe
+    (ivf_centroids), per-row cell assignment, queries probe
     their n_probe nearest cells, exact cosine re-rank inside the probed
     cells. The cell equi-join replaces the cross join; candidates shrink
     ~n_centroids/n_probe-fold. Centroids are dimension-sized and live in
     the plan as literals (collected once — bounded by n_centroids)."""
-    cents = [
-        list(r["__v"])
-        for r in corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__i"))
-        .orderBy(F.md5(F.concat(F.col("__i").cast("string"), F.lit("|ivf"))))
-        .limit(n_centroids)
-        .collect()
-    ]
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")).withColumn(
         "cell", ivf_assign(F.col("cvec"), cents)
     )
@@ -282,4 +293,58 @@ def lsh_ann_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): coarse-cluster the embeddings,
+    compare pairs ONLY within a cluster, and keep one representative per
+    semantic-duplicate group (keeper = min id of the connected component
+    over within-cell cosine >= threshold edges).
+
+    Returns (id, keeper_id, cell) — one row per input vector; singletons
+    keep themselves. ``exact=True`` builds edges from the all-pairs cosine
+    instead (cell = -1): the correctness twin for measuring what the
+    cell blocking misses.
+
+    Scale shape: the cell self-join is the SemDeDup contract — pairwise
+    work is O(sum cell_size^2), so size ``n_centroids ~ N / target_cell``
+    to bound it (the paper uses k ~ sqrt(N) clusters); the component step
+    is the O(log n) large-star/small-star CC, and nothing all-pairs runs
+    outside the exact twin."""
+    from .canonical import connected_components
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        cells = c.select("id", F.lit(-1).alias("cell"))
+        edges = cosine_near_dup_pairs(
+            corpus, threshold, id_col, vec_col, exact=True
+        ).select("id_a", "id_b")
+    else:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        cells = c.withColumn("cell", ivf_assign(F.col("vec"), cents))
+        a = cells.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
+        b = cells.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+        edges = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+            .select("id_a", "id_b")
+        )
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    return (
+        cells.join(comp, cells["id"] == comp["node"], "left")
+        .select(
+            cells["id"],
+            F.coalesce(comp["component"], cells["id"]).alias("keeper_id"),
+            "cell",
+        )
     )

@@ -1610,12 +1610,16 @@ def u3_union_pos_neg(spark, sf_dir):
     return pos.unionByName(neg)
 
 
-# Rollup + Cube — hierarchical and full grouping-set totals in one labeled
-# frame (beyond the reference; standard OLAP breadth): ROLLUP over
-# lineitem's (returnflag, linestatus) with revenue, CUBE over orders'
-# (status, priority) counts-only (revenue null there).
+# Rollup + Cube + HLL — hierarchical and full grouping-set totals plus the
+# approximate-distinct scale path, one labeled frame (beyond the reference;
+# standard OLAP breadth): ROLLUP over lineitem's (returnflag, linestatus)
+# with revenue, CUBE over orders' (status, priority) counts-only (revenue
+# null there), and an 'hll' row whose dim2 carries the sketch-error-bound
+# invariant (approx_count_distinct within 5% of exact — the sketch value
+# itself is engine-specific, the bound is not). Merged from the former
+# olap_rollup_cube + agg_approx_distinct rows (50-entry driver cap).
 @register(
-    "olap_rollup_cube",
+    "olap_hll_rollup_cube",
     """
     SELECT 'rollup' AS op,
            coalesce(l_returnflag, 'ALL') AS dim1,
@@ -1631,9 +1635,14 @@ def u3_union_pos_neg(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS revenue,
            count(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'hll' AS op, 'l_partkey' AS dim1, 'within_5pct' AS dim2,
+           CAST(NULL AS DOUBLE) AS revenue,
+           count(DISTINCT l_partkey) AS n
+    FROM lineitem
     """,
 )
-def olap_rollup_cube(spark, sf_dir):
+def olap_hll_rollup_cube(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     rollup = (
         li.rollup("l_returnflag", "l_linestatus")
@@ -1663,23 +1672,48 @@ def olap_rollup_cube(spark, sf_dir):
             "n",
         )
     )
-    return rollup.unionByName(cube)
+    hll = (
+        li.agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .select(
+            F.lit("hll").alias("op"),
+            F.lit("l_partkey").alias("dim1"),
+            F.when(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05,
+                F.lit("within_5pct"),
+            )
+            .otherwise(F.lit("out_of_bound"))
+            .alias("dim2"),
+            F.lit(None).cast("double").alias("revenue"),
+            F.col("exact_parts").alias("n"),
+        )
+    )
+    return rollup.unionByName(cube).unionByName(hll)
 
 
-# Window frame — per-user running totals ordered by time (streaming-state
-# twin in batch form).
+# Window frame + JSON extraction — per-user running totals ordered by time
+# (streaming-state twin in batch form), with the event's JSON props parsed
+# into a bucket column on the same row. Merged from the former
+# w1_running_totals + f12_json_extract rows (50-entry driver cap): the
+# window algebra and query-time JSON path stay independently checked — a
+# wrong frame breaks running_value, a wrong JSON parse breaks k_bucket.
 @register(
-    "w1_running_totals",
+    "w1_f12_running_json",
     """
     SELECT event_id, user_id,
            cast(row_number() OVER w AS BIGINT) AS seq,
-           round(sum(value) OVER w, 4) AS running_value
+           round(sum(value) OVER w, 4) AS running_value,
+           cast(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
-def w1_running_totals(spark, sf_dir):
+def w1_f12_running_json(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1691,28 +1725,7 @@ def w1_running_totals(spark, sf_dir):
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).cast("bigint").alias("seq"),
         F.round(F.sum("value").over(w), 4).alias("running_value"),
-    )
-
-
-# F12 — JSON extraction at query time (beyond the reference, which touches
-# JSON only at the I/O boundary): parse events.props, aggregate by bucket.
-@register(
-    "f12_json_extract",
-    """
-    SELECT cast(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
-           count(*) AS n,
-           round(avg(value), 4) AS avg_value
-    FROM events GROUP BY 1
-    """,
-)
-def f12_json_extract(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.withColumn(
-            "k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10)
-        )
-        .groupBy("k_bucket")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
     )
 
 
@@ -1779,31 +1792,84 @@ def sess_gap_sessions(spark, sf_dir):
     return sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
 
 
-# Approximate aggregates (HLL sketch) next to exact — the scale path for
-# distinct counts. The sketch value itself is engine-specific, so the row
-# carries the exact count (SQL-checkable) plus the error-bound invariant
-# as a boolean the oracle asserts true.
+# Benchmark contamination screen (operators/curation.py) — the n-gram
+# train/eval overlap check a pretraining pipeline runs before drawing the
+# training mix (GPT-3/PaLM decontamination recipe). The 'benchmark' is the
+# deterministic doc_id % 17 slice of the corpus standing in for a held-out
+# eval set, so the oracle recomputes the whole screen from scratch in SQL
+# (shingle semantics shared with dd_ngram_jaccard's proven oracle).
 @register(
-    "agg_approx_distinct",
-    """
-    SELECT count(DISTINCT l_partkey) AS exact_parts,
-           true AS within_5pct
-    FROM lineitem
+    "cur_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_filter(list_distinct(list_transform(
+               range(greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+             )), g -> g <> '') AS grams
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 17 = 0),
+    ex AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM sh
+      WHERE len(grams) > 0
+      UNION ALL
+      SELECT doc_id, 0 AS n_grams, NULL AS g FROM sh WHERE len(grams) = 0
+    ),
+    hits AS (
+      SELECT e.doc_id, e.n_grams,
+             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM ex e LEFT JOIN bench b ON e.g = b.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(CASE WHEN n_grams > 0 THEN n_hit / n_grams
+                      ELSE CAST(0.0 AS DOUBLE) END, 4) AS contamination,
+           (CASE WHEN n_grams > 0 THEN n_hit / n_grams
+                 ELSE CAST(0.0 AS DOUBLE) END) >= 0.5 AS contaminated
+    FROM hits
     """,
 )
-def agg_approx_distinct(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-    ).select(
-        "exact_parts",
-        (
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts")
-            <= 0.05
-        ).alias("within_5pct"),
+def cur_contamination(spark, sf_dir):
+    from .operators.curation import contamination_check
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_check(docs, bench, n=3, threshold=0.5)
+
+
+# Temperature-weighted source mixing (operators/curation.py) — per-source
+# quotas w_i ~ count_i^2 (T = 0.5: the integral-exponent case stays in
+# exact integer arithmetic, so DuckDB recomputes the quota bit-for-bit),
+# drawn by the engine's portable md5 hash order. 200-doc mixture.
+@register(
+    "cur_source_mixing",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n * n) AS sw FROM counts),
+    tgt AS (
+      SELECT c.source, least(c.n, (200 * c.n * c.n) // t.sw) AS quota
+      FROM counts c, tot t
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             cast(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42'))
+             ) AS INT) AS rn
+      FROM documents
     )
+    SELECT r.doc_id, r.source, r.rn
+    FROM ranked r JOIN tgt t ON r.source = t.source
+    WHERE r.rn <= t.quota
+    """,
+)
+def cur_source_mixing(spark, sf_dir):
+    from .operators.curation import mix_sources, source_mix_targets
+
+    docs = load(spark, sf_dir, "documents")
+    targets = source_mix_targets(docs, total=200, temperature=0.5)
+    return mix_sources(docs, targets)
 
 
 # The complete MinHash-LSH fuzzy-dedup composite (candidate pairs ->

@@ -1,0 +1,134 @@
+"""Training-data curation operators: contamination screen, source mixing,
+sequence packing (operators/curation.py — beyond-reference pipeline ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bioie_llm_spark.operators.curation import (
+    contamination_check,
+    mix_sources,
+    pack_sequences,
+    pack_stats,
+    source_mix_targets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ------------------------------------------------------------- contamination
+def test_contamination_self_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma zzz yyy xxx www"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "bid bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_check(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert len(out) == 4
+    # doc 1 IS the benchmark doc: every gram hits
+    assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
+    # doc 2 shares nothing
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    # doc 3: grams 'alpha beta gamma' hits; the rest don't -> ratio 1/5
+    assert out[3]["n_hit"] == 1 and out[3]["n_grams"] == 5
+    assert out[3]["contamination"] == 0.2 and not out[3]["contaminated"]
+    # empty doc kept with ratio 0, not dropped by the explode
+    assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
+
+
+def test_contamination_partition_invariant(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    a = contamination_check(docs, bench).collect()
+    b = contamination_check(docs.repartition(7), bench).collect()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(a) == key(b)
+    # benchmark members are fully contaminated by construction
+    marked = {r["doc_id"]: r["contamination"] for r in a}
+    assert all(marked[i] == 1.0 for i in marked if i % 17 == 0)
+
+
+# ------------------------------------------------------------------- mixing
+def test_source_mix_targets_temperature(spark):
+    docs = _docs(spark)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    flat = source_mix_targets(docs, total=40, temperature=1.0)
+    sharp = source_mix_targets(docs, total=40, temperature=0.5)
+    assert set(flat) == set(counts)
+    for s, (c, t) in flat.items():
+        assert c == counts[s] and 0 <= t <= c
+    assert sum(t for _, t in flat.values()) <= 40
+    # T=0.5 squares the weights: the biggest source's share must not shrink
+    big = max(counts, key=lambda s: (counts[s], s))
+    assert sharp[big][1] >= flat[big][1]
+
+
+def test_mix_sources_deterministic_quota(spark):
+    docs = _docs(spark)
+    targets = source_mix_targets(docs, total=40, temperature=0.5)
+    out = mix_sources(docs, targets)
+    got = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    for r in got:
+        assert r["n"] == targets[r["source"]][1]
+    # same draw at different parallelism (hash order, not partition order)
+    again = mix_sources(docs.repartition(13), targets)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ------------------------------------------------------------------- packing
+def test_pack_sequences_invariants(spark):
+    docs = _docs(spark)
+    packed = pack_sequences(docs, max_tokens=64, n_groups=8)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc exactly once
+    assert len({r["id"] for r in rows}) == len(rows)
+    stats = pack_stats(packed, max_tokens=64).collect()[0]
+    assert stats["n_violations"] == 0
+    assert 0 < stats["mean_utilization"] <= 1.0
+    # group is hash-derived -> identical packing at other parallelism
+    again = pack_sequences(docs.repartition(17), max_tokens=64, n_groups=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_oversize_isolated(spark):
+    docs = spark.createDataFrame(
+        [(1, "a " * 100), (2, "b c d"), (3, "e f")],
+        "doc_id bigint, text string",
+    )
+    packed = pack_sequences(docs, max_tokens=10, n_groups=1)
+    rows = {r["id"]: r for r in packed.collect()}
+    assert rows[1]["oversize"] and rows[1]["n_tokens"] == 100
+    # the oversize doc sits alone in its bin
+    assert sum(1 for r in rows.values() if r["bin_id"] == rows[1]["bin_id"]) == 1
+    # the two small docs co-pack (2 + 3 tokens <= 10)
+    assert rows[2]["bin_id"] == rows[3]["bin_id"]
+    stats = pack_stats(packed, max_tokens=10).collect()[0]
+    assert stats["n_oversize_bins"] == 1 and stats["n_violations"] == 0
+
+
+@pytest.mark.parametrize("budget", [16, 64, 256])
+def test_pack_ffd_beats_singletons(spark, budget):
+    """FFD must never use more bins than one-doc-per-bin, and must beat it
+    whenever any two docs fit together."""
+    docs = _docs(spark).limit(40)
+    n_docs = docs.count()
+    stats = pack_stats(
+        pack_sequences(docs, max_tokens=budget, n_groups=4), budget
+    ).collect()[0]
+    assert stats["n_bins"] <= n_docs

@@ -88,3 +88,77 @@ def test_lsh_ann_recall(spark):
     top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
     for qid, vid in top1.items():
         assert qid == vid
+
+
+def _planted_corpus(spark):
+    """Fixture embeddings + a near-identical copy of every 25th vector
+    (per-dimension 1e-4 perturbation -> cosine ~ 1): the semantic-dup
+    population SemDeDup targets. The raw fixture is near-isotropic (max
+    pair cosine ~0.45), so true dups must be planted."""
+    c = _corpus(spark)
+    dups = c.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + ((i % 7) - 3) * 1e-4)
+        ).alias("embedding"),
+        "label",
+    )
+    return c.unionByName(dups), {
+        r["vec_id"] for r in c.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+
+
+def test_semantic_dedup_exact_groups(spark):
+    """Exact twin: keeper groups = connected components of the all-pairs
+    cosine >= t graph, keeper = min id, singletons self-kept."""
+    from bioie_llm_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    c, planted = _planted_corpus(spark)
+    out = semantic_dedup(c, threshold=0.95, exact=True)
+    rows = {r["id"]: r["keeper_id"] for r in out.collect()}
+    assert len(rows) == c.count()
+    assert all(k <= i for i, k in rows.items())
+    pairs = cosine_near_dup_pairs(c, threshold=0.95, exact=True).collect()
+    # exactly the planted (orig, copy) pairs exist at this threshold
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {
+        (i, i + 100000) for i in planted
+    }
+    for p in pairs:  # closure: every edge shares a keeper
+        assert rows[p["id_a"]] == rows[p["id_b"]] == p["id_a"]
+    singles = set(rows) - {x for i in planted for x in (i, i + 100000)}
+    assert singles and all(rows[i] == i for i in singles)
+
+
+def test_semantic_dedup_cell_blocked_recall(spark):
+    """SemDeDup cell blocking: near-identical vectors share a cell, so the
+    blocked variant recovers every planted dup; blocking can only LOSE
+    pairs vs the exact twin, never invent them; deterministic at any
+    parallelism."""
+    from bioie_llm_spark.operators.similarity import semantic_dedup
+
+    c, planted = _planted_corpus(spark)
+    exact = {
+        r["id"]: r["keeper_id"]
+        for r in semantic_dedup(c, threshold=0.95, exact=True).collect()
+    }
+    approx = {
+        r["id"]: r["keeper_id"]
+        for r in semantic_dedup(c, threshold=0.95, n_centroids=8).collect()
+    }
+    assert set(approx) == set(exact)
+    exact_merged = {i for i, k in exact.items() if k != i}
+    approx_merged = {i for i, k in approx.items() if k != i}
+    assert approx_merged <= exact_merged
+    assert exact_merged == {i + 100000 for i in planted}
+    recall = len(approx_merged) / len(exact_merged)
+    assert recall == 1.0, f"near-identical dup crossed cells: {recall}"
+    again = {
+        r["id"]: r["keeper_id"]
+        for r in semantic_dedup(
+            c.repartition(9), threshold=0.95, n_centroids=8
+        ).collect()
+    }
+    assert again == approx
