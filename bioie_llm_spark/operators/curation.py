@@ -94,6 +94,71 @@ def contamination_check(
     )
 
 
+# ------------------------------------------------------------ paragraph dedup
+def paragraph_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet/Dolma-style cross-document paragraph deduplication: split each
+    doc into paragraphs, hash the normalized content, and drop paragraphs
+    whose hash occurs in >= min_df documents — boilerplate headers,
+    licenses, navigation chrome. ``keep_first=True`` retains the single
+    globally-first occurrence (min (id, pos)); False drops every copy.
+
+    Returns (id, text, n_paras, n_dropped) with the doc reassembled from
+    its surviving paragraphs in original order (text '' if none survive).
+
+    Scale shape: one explode, one hash-key aggregate (min occurrence +
+    distinct-doc count, both map-side combinable), one equi-join back on
+    the hash, one reassembly aggregate on the doc key. Nothing is
+    quadratic; hot boilerplate hashes are single aggregate rows, not
+    posting lists.
+    """
+    from .dedup import normalized_text
+
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("h", F.md5(normalized_text(F.col("para"))))
+    stats = paras.groupBy("h").agg(
+        F.countDistinct("id").alias("df"),
+        F.min(F.struct("id", "pos")).alias("first_occ"),
+    )
+    joined = paras.join(stats, "h")
+    keep = F.col("df") < min_df
+    if keep_first:
+        keep = keep | (
+            (F.col("first_occ.id") == F.col("id"))
+            & (F.col("first_occ.pos") == F.col("pos"))
+        )
+    marked = joined.withColumn("__keep", keep)
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((~F.col("__keep")).cast("int")).alias("n_dropped"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"), F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text"),
+        )
+        .select("id", "text", "n_paras", "n_dropped")
+    )
+
+
 # --------------------------------------------------------------- source mixing
 def source_mix_targets(
     docs: DataFrame,
@@ -220,6 +285,31 @@ def pack_sequences(
     id_type = sized.schema["id"].dataType.simpleString()
     schema = f"id {id_type}, group bigint, bin_id bigint, n_tokens int, oversize boolean"
     return sized.groupBy("group").applyInPandas(pack, schema=schema)
+
+
+def py_pack_ffd(
+    items: list[tuple[int, int]], max_tokens: int
+) -> dict[int, int]:
+    """Pure-Python twin of pack_sequences' per-group FFD (property tests):
+    items = [(id, n_tokens)], returns id -> local bin index. Must mirror
+    the applyInPandas kernel exactly — (tokens desc, id) order, first fit,
+    oversize docs in dedicated closed bins."""
+    out: dict[int, int] = {}
+    bins: list[int] = []
+    for i, tok in sorted(items, key=lambda t: (-t[1], t[0])):
+        if tok > max_tokens:
+            bins.append(-1)
+            out[i] = len(bins) - 1
+            continue
+        for b, cap in enumerate(bins):
+            if cap >= tok:
+                bins[b] = cap - tok
+                out[i] = b
+                break
+        else:
+            bins.append(max_tokens - tok)
+            out[i] = len(bins) - 1
+    return out
 
 
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:

@@ -132,3 +132,79 @@ def test_pack_ffd_beats_singletons(spark, budget):
         pack_sequences(docs, max_tokens=budget, n_groups=4), budget
     ).collect()[0]
     assert stats["n_bins"] <= n_docs
+
+
+# ----------------------------------------------------------- paragraph dedup
+def test_paragraph_dedup_keep_first(spark):
+    from bioie_llm_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "LICENSE TEXT\n\nunique one\n\ncommon footer"),
+            (2, "LICENSE TEXT\n\nunique two\n\ncommon footer"),
+            (3, "totally distinct\n\nLICENSE TEXT"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["id"]: r for r in paragraph_dedup(docs, min_df=2).collect()}
+    # doc 1 holds the first occurrence of both boilerplate paras
+    assert out[1]["text"] == "LICENSE TEXT\n\nunique one\n\ncommon footer"
+    assert out[1]["n_dropped"] == 0
+    # doc 2 loses both copies, keeps its unique paragraph
+    assert out[2]["text"] == "unique two" and out[2]["n_dropped"] == 2
+    # doc 3 loses the license (first occurrence lives in doc 1)
+    assert out[3]["text"] == "totally distinct" and out[3]["n_dropped"] == 1
+    assert all(r["n_paras"] in (2, 3) for r in out.values())
+
+
+def test_paragraph_dedup_drop_all_and_invariance(spark):
+    from bioie_llm_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same\n\nonly in one"),
+            (2, "same"),
+            (3, "same\n\nSAME!"),  # normalization folds 'SAME!' into 'same'
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(docs, min_df=2, keep_first=False).collect()
+    }
+    assert out[1]["text"] == "only in one"
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 2
+    # partition invariance
+    a = sorted(map(tuple, paragraph_dedup(docs, min_df=2).collect()))
+    b = sorted(map(tuple, paragraph_dedup(docs.repartition(5), min_df=2).collect()))
+    assert a == b
+
+
+# -------------------------------------------------- FFD property (hypothesis)
+def test_pack_ffd_matches_python_twin(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bioie_llm_spark.operators.curation import pack_sequences, py_pack_ffd
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(st.integers(min_value=0, max_value=80), min_size=1, max_size=25))
+    def collect(sizes):
+        cases.append(sizes)
+
+    collect()
+    budget = 50
+    for sizes in cases[:12]:  # one tiny Spark job per case; cap runtime
+        docs = spark.createDataFrame(
+            [(i, "w " * k) for i, k in enumerate(sizes)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["id"]: r["bin_id"]
+            for r in pack_sequences(docs, max_tokens=budget, n_groups=1).collect()
+        }
+        want = py_pack_ffd(list(enumerate(sizes)), budget)
+        assert got == want, (sizes, got, want)
