@@ -165,32 +165,40 @@ def source_mix_targets(
     total: int,
     temperature: float = 1.0,
     source_col: str = "source",
+    size_col: str | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Per-source (count, target) quotas for a ``total``-doc mixture with
-    sampling weight ``w_i = count_i ** (1/temperature)`` (T < 1 sharpens
+    sampling weight ``w_i = size_i ** (1/temperature)`` (T < 1 sharpens
     toward big sources, T > 1 flattens — the multilingual-mixing knob).
-    Bounded collect: one row per source. Integral ``1/temperature``
-    (e.g. T = 0.5 or 1.0) stays in exact integer arithmetic so the quota
-    is bit-reproducible by any engine; fractional exponents use floats.
+    ``size_i`` is the source's doc count, or its SUM of ``size_col`` when
+    given (e.g. a token-count column: budget-weighted mixing, so a source
+    of few long docs weighs like one of many short docs). Targets stay
+    doc-count quotas either way. Bounded collect: one row per source.
+    Integral ``1/temperature`` (e.g. T = 0.5 or 1.0) stays in exact
+    integer arithmetic so the quota is bit-reproducible by any engine;
+    fractional exponents use floats.
     """
+    size = (
+        F.count("*") if size_col is None else F.sum(size_col).cast("long")
+    ).alias("sz")
     counts = {
-        r["src"]: r["n"]
+        r["src"]: (r["n"], r["sz"])
         for r in docs.groupBy(F.col(source_col).alias("src"))
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), size)
         .collect()
     }
     k = 1.0 / temperature
     if float(k).is_integer():
-        weights = {s: c ** int(k) for s, c in counts.items()}
+        weights = {s: sz ** int(k) for s, (_, sz) in counts.items()}
         sw = sum(weights.values())
         return {
-            s: (counts[s], min(counts[s], total * w // sw))
+            s: (counts[s][0], min(counts[s][0], total * w // sw))
             for s, w in weights.items()
         }
-    weights = {s: float(c) ** k for s, c in counts.items()}
+    weights = {s: float(sz) ** k for s, (_, sz) in counts.items()}
     sw = sum(weights.values())
     return {
-        s: (counts[s], min(counts[s], int(total * w / sw)))
+        s: (counts[s][0], min(counts[s][0], int(total * w / sw)))
         for s, w in weights.items()
     }
 
@@ -219,6 +227,60 @@ def mix_sources(
         docs.select(id_col, source_col)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= quota[F.col(source_col)])
+    )
+
+
+# ------------------------------------------------------------------- chunking
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    embedding/RAG ingestion op (complement of pack_sequences): chunk i
+    covers tokens [i*stride, i*stride + max_tokens), stride = max_tokens -
+    overlap, so consecutive chunks share exactly ``overlap`` tokens.
+
+    Returns (id, chunk_id, n_chunks, n_tokens, chunk_text); a doc of at
+    most max_tokens tokens yields itself as its single chunk (empty docs
+    included — no rows are dropped).
+
+    Pure Catalyst (token split, a `sequence` of starts, posexplode, array
+    slice + concat_ws): whole-stage-codegen map work, zero shuffles, zero
+    Python — parallelism comes entirely from input splits.
+    """
+    from ..functions.text import tokens
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    base = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(
+        F.lit(0), (F.col("__n_chunks") - 1) * F.lit(stride), F.lit(stride)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    return (
+        base.withColumn("__n_chunks", n_chunks)
+        .withColumn("__starts", starts)
+        .select(
+            "id",
+            F.col("__n_chunks").alias("n_chunks"),
+            "__toks",
+            F.posexplode("__starts").alias("chunk_id", "__start"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            "n_chunks",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
     )
 
 

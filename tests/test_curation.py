@@ -91,6 +91,22 @@ def test_mix_sources_deterministic_quota(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_source_mix_targets_token_weighted(spark):
+    """size_col mixing: a source of few long docs weighs like one of many
+    short docs (equal token mass -> equal raw quota), with the per-source
+    doc-count cap applied after."""
+    rows = [(i, "A", 100) for i in range(2)] + [
+        (100 + i, "B", 10) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    t = source_mix_targets(docs, total=10, temperature=1.0, size_col="n_tokens")
+    # equal 200-token mass each -> raw quota 5 per source; A capped at 2 docs
+    assert t["A"] == (2, 2) and t["B"] == (20, 5)
+    # default doc-count weighting: B dominates 20:2
+    t2 = source_mix_targets(docs, total=10, temperature=1.0)
+    assert t2["B"][1] > t2["A"][1] and t2["B"][1] >= 9
+
+
 # ------------------------------------------------------------------- packing
 def test_pack_sequences_invariants(spark):
     docs = _docs(spark)
@@ -208,3 +224,60 @@ def test_pack_ffd_matches_python_twin(spark):
         }
         want = py_pack_ffd(list(enumerate(sizes)), budget)
         assert got == want, (sizes, got, want)
+
+
+# ------------------------------------------------------------------ chunking
+def test_chunk_documents_coverage_and_overlap(spark):
+    from bioie_llm_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=4)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["chunk_id"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: 25 tokens, stride 6 -> ceil((25-4)/6) = 4 chunks
+    c1 = by_doc[1]
+    assert len(c1) == 4 and all(r["n_chunks"] == 4 for r in c1)
+    texts = [r["chunk_text"].split() for r in c1]
+    # chunk i starts at i*stride; consecutive chunks share exactly 4 tokens
+    for i, t in enumerate(texts):
+        assert t[0] == f"w{i * 6}"
+    for a, b in zip(texts, texts[1:]):
+        assert a[-4:] == b[:4]
+    # full coverage, in order, no token lost
+    merged = texts[0] + [w for t in texts[1:] for w in t[4:]]
+    assert merged == words.split()
+    # short doc -> single chunk = itself; empty doc -> one empty chunk
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short doc"]
+    assert by_doc[2][0]["n_chunks"] == 1
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
+    assert by_doc[3][0]["n_tokens"] == 0
+
+
+def test_chunk_documents_boundary_exact(spark):
+    from bioie_llm_spark.operators.curation import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id bigint, text string"
+    )
+    # exactly max_tokens -> one chunk
+    one = chunk_documents(docs, max_tokens=10, overlap=4).collect()
+    assert len(one) == 1 and one[0]["n_tokens"] == 10
+    # one token over -> two chunks, second holds overlap + the extra token
+    docs11 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11)))], "doc_id bigint, text string"
+    )
+    two = sorted(
+        chunk_documents(docs11, max_tokens=10, overlap=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_tokens"] for r in two] == [10, 5]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, overlap=10)
