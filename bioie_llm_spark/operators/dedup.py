@@ -379,3 +379,71 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (JVM intrinsic)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard join via prefix filtering (Bayardo et
+    al., WWW'07 "Scaling Up All Pairs Similarity Search" / PPJoin family —
+    public algorithm): no max_df recall caveat.
+
+    Each doc indexes only its PREFIX — the |G| - ceil(t*|G|) + 1 rarest
+    shingles in global-document-frequency order; two docs with Jaccard >=
+    t must share a prefix shingle, so the candidate join on prefix grams
+    misses nothing. Boilerplate shingles are the most frequent, so they
+    sort LAST and almost never enter a prefix — the hot-key blow-up the
+    max_df cap guards against is pruned here exactly instead of lossily.
+    Candidates then verify against the full shingle sets (array_intersect)
+    with the standard length filter (t*|A| <= |B|).
+
+    Trade-off vs ngram_jaccard_pairs: exact at any threshold, but ~5
+    shuffles (df count, df join, per-doc prefix window, candidate join,
+    two verify joins) against the capped path's one — the right choice
+    when missed boilerplate-only pairs are unacceptable; the capped path
+    when they are (its drop is audited via ngram_hot_grams)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = grams.select("id", "n_sh", F.explode("sh").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
+    pref = (
+        ex.join(dfreq, "g")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= prefix_len)
+        .select("id", "n_sh", "g")
+    )
+    cand = (
+        pref.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
+        .join(pref.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: |B| in [t*|A|, |A|/t] is necessary for J >= t
+        .filter(
+            (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    shared = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("__shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("__shared")
+            / (F.size("sha") + F.size("shb") - F.col("__shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -134,3 +134,41 @@ def test_fuzzy_dedup_clusters(spark):
     assert out[5]["keeper_id"] == 5 and out[6]["keeper_id"] == 6
     keepers = [r for r in out.values() if r["is_keeper"]]
     assert {r["id"] for r in keepers} == {1, 5, 6}
+
+
+def test_ngram_jaccard_prefix_exact_equivalence(spark):
+    """Prefix-filtered join (Bayardo/PPJoin) must produce EXACTLY the
+    uncapped inverted-index join's pairs — it is a pruning, not an
+    approximation — including pairs whose overlap is boilerplate-only
+    (which the max_df-capped path documents as missed)."""
+    from pyspark.sql import functions as F
+
+    from bioie_llm_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # inject a boilerplate-heavy near-dup pair: identical long texts whose
+    # shingles are ubiquitous (appended to 30 other docs too)
+    boiler = "generated file do not edit all rights reserved " * 3
+    extra = spark.createDataFrame(
+        [(9001, boiler), (9002, boiler + "tail marker")]
+        + [(9100 + i, f"doc body {i} " + boiler) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    exact = ngram_jaccard_pairs(corpus, threshold=0.5, max_df=None)
+    pref = ngram_jaccard_pairs_prefix(corpus, threshold=0.5)
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pref.collect()}
+    assert p == e and len(e) > 0
+    # the planted boilerplate pair is found by the exact paths but dropped
+    # by the capped path (its overlap is exclusively hot shingles)
+    assert (9001, 9002) in p
+    capped = ngram_jaccard_pairs(corpus, threshold=0.5, max_df=25)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (9001, 9002) not in capped_pairs
+    # partition invariance
+    again = ngram_jaccard_pairs_prefix(corpus.repartition(7), threshold=0.5)
+    assert {(r["id_a"], r["id_b"]): r["jaccard"] for r in again.collect()} == p
