@@ -37,3 +37,35 @@ def test_extraction_plan_shape(spark):
     assert st["python"] >= 1          # the inference UDF
     assert st["bhj"] >= 2             # both linking joins broadcast
     assert st["smj"] == 0 and st["cartesian"] == 0
+
+
+def test_curation_plan_shapes(spark):
+    """Round-3 curation operators keep their documented physical shapes
+    (PLANS.md): contamination joins the benchmark by BROADCAST only;
+    chunking is a pure zero-exchange map; the mixing draw pays exactly one
+    (window) exchange; packing repartitions once into its salt groups."""
+    from pyspark.sql import functions as F
+
+    from bioie_llm_spark.operators.curation import (
+        chunk_documents,
+        contamination_check,
+        mix_sources,
+        pack_sequences,
+        source_mix_targets,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+
+    st = plan_stats(contamination_check(docs, bench))
+    assert st["bhj"] >= 1 and st["smj"] == 0 and st["cartesian"] == 0
+
+    st = plan_stats(chunk_documents(docs))
+    assert st["exchanges"] == 0 and st["python"] == 0
+
+    targets = source_mix_targets(docs, total=100)
+    st = plan_stats(mix_sources(docs, targets))
+    assert st["exchanges"] == 1 and st["window"] == 1 and st["cartesian"] == 0
+
+    st = plan_stats(pack_sequences(docs, max_tokens=256))
+    assert st["exchanges"] == 1 and st["python"] == 1
