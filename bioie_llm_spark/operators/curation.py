@@ -159,6 +159,45 @@ def paragraph_dedup(
     )
 
 
+def py_paragraph_dedup(
+    docs: list[tuple[int, str]],
+    min_df: int = 2,
+    keep_first: bool = True,
+    sep: str = "\n\n",
+) -> dict[int, tuple[str, int, int]]:
+    """Pure-Python twin of paragraph_dedup (property tests): id ->
+    (text, n_paras, n_dropped). Must mirror the DataFrame op exactly —
+    normalization via the same lowercase/strip/collapse rule, df counted
+    over DISTINCT docs, first occurrence = min (id, pos)."""
+    import re as _re
+
+    def norm(s: str) -> str:
+        return _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", "", s.lower())).strip()
+
+    paras = [
+        (i, pos, p, norm(p))
+        for i, text in docs
+        for pos, p in enumerate(text.split(sep))
+    ]
+    df_count: dict[str, set[int]] = {}
+    first: dict[str, tuple[int, int]] = {}
+    for i, pos, _, h in paras:
+        df_count.setdefault(h, set()).add(i)
+        if h not in first or (i, pos) < first[h]:
+            first[h] = (i, pos)
+    out: dict[int, tuple[str, int, int]] = {}
+    for i, _ in docs:
+        mine = [(pos, p, h) for (j, pos, p, h) in paras if j == i]
+        kept = [
+            p
+            for pos, p, h in mine
+            if len(df_count[h]) < min_df
+            or (keep_first and first[h] == (i, pos))
+        ]
+        out[i] = (sep.join(kept), len(mine), len(mine) - len(kept))
+    return out
+
+
 # --------------------------------------------------------------- source mixing
 def source_mix_targets(
     docs: DataFrame,

@@ -281,3 +281,36 @@ def test_chunk_documents_boundary_exact(spark):
     assert [r["n_tokens"] for r in two] == [10, 5]
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=10, overlap=10)
+
+
+def test_paragraph_dedup_matches_python_twin(spark):
+    """Hypothesis: the DataFrame op equals py_paragraph_dedup on generated
+    multi-paragraph corpora (small alphabet forces heavy collisions)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bioie_llm_spark.operators.curation import (
+        paragraph_dedup,
+        py_paragraph_dedup,
+    )
+
+    para_st = st.text(alphabet="ab X.", min_size=0, max_size=6)
+    doc_st = st.lists(para_st, min_size=1, max_size=4).map("\n\n".join)
+    cases = []
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc_st, min_size=1, max_size=6))
+    def collect(texts):
+        cases.append(texts)
+
+    collect()
+    for kf in (True, False):
+        for texts in cases[:8]:
+            docs = list(enumerate(texts))
+            sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+            got = {
+                r["id"]: (r["text"], r["n_paras"], r["n_dropped"])
+                for r in paragraph_dedup(sdf, min_df=2, keep_first=kf).collect()
+            }
+            want = py_paragraph_dedup(docs, min_df=2, keep_first=kf)
+            assert got == want, (kf, texts, got, want)
