@@ -45,7 +45,7 @@ HEADLINE = [
     "t4_stratified_sample",
     "f1_u1_match_pad",
     "q1_pricing_summary",
-    "dd_exact_dedup",
+    "dd_exact_clean_corpus",
     "dd_ngram_jaccard",
     "sim_cosine_topk",
     "txt_profile",

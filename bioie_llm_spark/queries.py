@@ -1105,19 +1105,94 @@ _NORM_SQL = (
     " '\\s+', ' ', 'g'))"
 )
 
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
+_STOPWORDS_SQL = str(sorted({
+    "the", "a", "of", "and", "is", "der", "die", "und", "ist",
+    "el", "la", "y", "es", "le", "les", "et", "est", "的", "是", "了",
+}))
+
+_QUALITY_SQL = f"""
+      least(length(text) / 500.0, 1.0) * 0.3
+      + (1.0 - least(abs(CASE WHEN len({_TOKS_SQL}) > 0
+                    THEN list_aggregate(list_transform({_TOKS_SQL}, t -> length(t)), 'sum') / len({_TOKS_SQL})
+                    ELSE 0.0 END - 5.0) / 5.0, 1.0)) * 0.3
+      + least((CASE WHEN len({_TOKS_SQL}) > 0
+               THEN len(list_filter(list_transform({_TOKS_SQL}, t -> lower(t)),
+                        t -> list_contains({_STOPWORDS_SQL}, t))) / len({_TOKS_SQL})
+               ELSE 0.0 END) * 5.0, 1.0) * 0.2
+      + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                 ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+"""
+
+
+
+# Exact dedup + composite corpus cleaning in one labeled frame (merged
+# from the former dd_exact_dedup + pipeline_clean_corpus rows — 50-entry
+# driver cap; the cleaner composes the deduper, so the row checks both):
+# 'dedup' rows = every content group (keeper, n_dups); 'clean' rows = the
+# canonical corpus-prep flow (dedup keepers ∩ quality >= 0.62, token
+# counts — _QUALITY_SQL mirrored expression-for-expression so doubles
+# stay bit-identical across engines).
 @register(
-    "dd_exact_dedup",
+    "dd_exact_clean_corpus",
     f"""
-    SELECT md5({_NORM_SQL}) AS content_key,
-           min(doc_id) AS keeper_id, count(*) AS n_dups
-    FROM documents GROUP BY 1
+    WITH scored AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS content_key,
+             round({_QUALITY_SQL}, 4) AS quality,
+             len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    groups AS (
+      SELECT content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
+      FROM scored GROUP BY content_key
+    )
+    SELECT 'dedup' AS kind, keeper_id AS doc_id, content_key, n_dups,
+           CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BIGINT) AS n_tokens
+    FROM groups
+    UNION ALL
+    SELECT 'clean' AS kind, s.doc_id, s.content_key,
+           CAST(NULL AS BIGINT) AS n_dups, s.quality, s.n_tokens
+    FROM scored s JOIN groups g ON s.doc_id = g.keeper_id
+    WHERE s.quality >= 0.62
     """,
 )
-def dd_exact_dedup(spark, sf_dir):
-    from .operators.dedup import exact_dedup
+def dd_exact_clean_corpus(spark, sf_dir):
+    from .functions.text import quality_score, token_count
+    from .operators.dedup import exact_dedup, normalized_text
 
-    return exact_dedup(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
+    groups = exact_dedup(d)
+    dedup_rows = groups.select(
+        F.lit("dedup").alias("kind"),
+        F.col("keeper_id").alias("doc_id"),
+        "content_key",
+        "n_dups",
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+    )
+    scored = d.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("content_key"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    clean_rows = (
+        scored.join(
+            groups.select(F.col("keeper_id").alias("doc_id")), "doc_id"
+        )
+        .filter(F.col("quality") >= 0.62)
+        .select(
+            F.lit("clean").alias("kind"),
+            "doc_id",
+            "content_key",
+            F.lit(None).cast("bigint").alias("n_dups"),
+            "quality",
+            "n_tokens",
+        )
+    )
+    return dedup_rows.unionByName(clean_rows)
 
 
 @register(
@@ -1370,26 +1445,6 @@ def sim_ann_recall(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
-_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
-
-_STOPWORDS_SQL = str(sorted({
-    "the", "a", "of", "and", "is", "der", "die", "und", "ist",
-    "el", "la", "y", "es", "le", "les", "et", "est", "的", "是", "了",
-}))
-
-_QUALITY_SQL = f"""
-      least(length(text) / 500.0, 1.0) * 0.3
-      + (1.0 - least(abs(CASE WHEN len({_TOKS_SQL}) > 0
-                    THEN list_aggregate(list_transform({_TOKS_SQL}, t -> length(t)), 'sum') / len({_TOKS_SQL})
-                    ELSE 0.0 END - 5.0) / 5.0, 1.0)) * 0.3
-      + least((CASE WHEN len({_TOKS_SQL}) > 0
-               THEN len(list_filter(list_transform({_TOKS_SQL}, t -> lower(t)),
-                        t -> list_contains({_STOPWORDS_SQL}, t))) / len({_TOKS_SQL})
-               ELSE 0.0 END) * 5.0, 1.0) * 0.2
-      + (1.0 - least((CASE WHEN length(text) > 0
-                 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
-                 ELSE 0.0 END) * 4.0, 1.0)) * 0.2
-"""
 
 
 # txt profile — the whole per-document text-analysis battery in one pass
@@ -1729,39 +1784,63 @@ def w1_f12_running_json(spark, sf_dir):
     )
 
 
-# Composite training-data cleaning pipeline: exact-dedup keepers ∩ quality
-# threshold, with token counts — the canonical corpus-prep flow, fully
-# oracle-checked (the quality formula _QUALITY_SQL is mirrored expression-
-# for-expression so doubles stay bit-identical across engines).
+# Cross-document paragraph dedup (operators/curation.paragraph_dedup,
+# CCNet/Dolma boilerplate removal) under the hard driver signal. The
+# fixture's documents are single-line, so a multi-paragraph corpus with
+# REAL cross-doc duplicates is synthesized deterministically in-query:
+# doc i = text_i + '\n\n' + text_{i+7} — every text appears in exactly
+# two constructed docs (as first and second paragraph), making the
+# keep-first/min-(id,pos) semantics fully observable. The oracle
+# recomputes the whole flow in SQL (same normalization as the dedup
+# rows; first occurrence encoded as doc_id*10+pos, pos < 10).
 @register(
-    "pipeline_clean_corpus",
+    "cur_paragraph_dedup",
     f"""
-    WITH scored AS (
-      SELECT doc_id, md5({_NORM_SQL}) AS content_key,
-             round({_QUALITY_SQL}, 4) AS quality,
-             len({_TOKS_SQL}) AS n_tokens
-      FROM documents
+    WITH corpus AS (
+      SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 7
     ),
-    keepers AS (
-      SELECT min(doc_id) AS doc_id FROM scored GROUP BY content_key
+    split AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM corpus
+    ),
+    paras AS (
+      SELECT doc_id, unnest(range(len(ps))) AS pos, ps FROM split
+    ),
+    hashed AS (
+      SELECT doc_id, pos, ps[pos + 1] AS para,
+             md5(trim(regexp_replace(regexp_replace(lower(ps[pos + 1]),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS h
+      FROM paras
+    ),
+    stats AS (
+      SELECT h, count(DISTINCT doc_id) AS df,
+             min(doc_id * 10 + pos) AS first_key
+      FROM hashed GROUP BY h
+    ),
+    marked AS (
+      SELECT p.doc_id, p.pos, p.para,
+             (s.df < 2 OR s.first_key = p.doc_id * 10 + p.pos) AS keep
+      FROM hashed p JOIN stats s ON p.h = s.h
     )
-    SELECT s.doc_id, s.quality, s.n_tokens
-    FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
-    WHERE s.quality >= 0.62
+    SELECT doc_id AS id,
+           coalesce(string_agg(CASE WHEN keep THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '') AS text,
+           count(*) AS n_paras,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+    FROM marked GROUP BY doc_id
     """,
 )
-def pipeline_clean_corpus(spark, sf_dir):
-    from .functions.text import quality_score, token_count
-    from .operators.dedup import exact_dedup
+def cur_paragraph_dedup(spark, sf_dir):
+    from .operators.curation import paragraph_dedup
 
-    d = load(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text")).alias("n_tokens"),
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = d.select(
+        (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("t2")
     )
-    keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
-    return scored.join(keepers, "doc_id").filter(F.col("quality") >= 0.62)
+    corpus = d.join(partner, "doc_id").select(
+        "doc_id", F.concat_ws("\n\n", "text", "t2").alias("text")
+    )
+    return paragraph_dedup(corpus, min_df=2, keep_first=True)
 
 
 # Sessionization — gap-based sessions as window algebra (event-pipeline op).
