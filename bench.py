@@ -42,7 +42,7 @@ HEADLINE = [
     "a5_per_class_counts",
     "j1_broadcast_lookup",
     "j6_a9_vote_stats",
-    "t4_stratified_sample",
+    "t2_t4_sampling",
     "f1_u1_match_pad",
     "q1_pricing_summary",
     "dd_exact_clean_corpus",

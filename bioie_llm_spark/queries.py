@@ -691,49 +691,69 @@ def j7_positional_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# T2 + T5 — seeded deterministic sample with its shuffle position
-# (string_processor.py:105, 59): md5-ordered take-100; `shuffle_pos` is the
-# seeded-shuffle rank (T5) of each sampled row — one TakeOrdered plus a
-# 100-row window, no global sort of the full table.
+# T2 + T5 + T4 — the deterministic-sampling family in one labeled frame
+# (merged from the former t2_seeded_sample + t4_stratified_sample rows —
+# 50-entry driver cap; the two halves stay independently checked because
+# each kind's rows are computed by a different operator):
+# - 'seeded' (string_processor.py:105, 59): md5-ordered take-100 over
+#   orders with the seeded-shuffle rank (T5) of each sampled row — one
+#   TakeOrdered plus a 100-row window, no global sort of the full table;
+# - 'stratified' (indra_processor.py:147-149): 50 per event_type via one
+#   window shuffle on the stratum key, carrying the within-stratum rank.
 @register(
-    "t2_seeded_sample",
+    "t2_t4_sampling",
     """
-    SELECT o_orderkey, o_custkey,
-           row_number() OVER (ORDER BY md5(o_orderkey || '|42')) AS shuffle_pos
-    FROM orders
-    ORDER BY md5(o_orderkey || '|42') LIMIT 100
-    """,
-)
-def t2_seeded_sample(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    sampled = seeded_sample(o, ["o_orderkey"], 100).select("o_orderkey", "o_custkey")
-    return sampled.withColumn(
-        "shuffle_pos",
-        F.row_number().over(
-            Window.orderBy(hash_order_key(["o_orderkey"]))
-        ),
-    )
-
-
-# T4 — stratified per-class sample (indra_processor.py:147-149).
-@register(
-    "t4_stratified_sample",
-    """
-    WITH ranked AS (
+    (SELECT 'seeded' AS kind, CAST(o_orderkey AS VARCHAR) AS key,
+            CAST(o_custkey AS VARCHAR) AS grp,
+            row_number() OVER (ORDER BY md5(o_orderkey || '|42')) AS rn
+     FROM orders
+     ORDER BY md5(o_orderkey || '|42') LIMIT 100)
+    UNION ALL
+    SELECT 'stratified' AS kind, CAST(event_id AS VARCHAR) AS key,
+           event_type AS grp, rn
+    FROM (
       SELECT event_id, event_type,
              row_number() OVER (
                PARTITION BY event_type ORDER BY md5(event_id || '|42')
              ) AS rn
       FROM events
-    )
-    SELECT event_id, event_type FROM ranked WHERE rn <= 50
+    ) WHERE rn <= 50
     """,
 )
-def t4_stratified_sample(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    return stratified_sample(ev, "event_type", ["event_id"], 50).select(
-        "event_id", "event_type"
+def t2_t4_sampling(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    seeded = (
+        seeded_sample(o, ["o_orderkey"], 100)
+        .select("o_orderkey", "o_custkey")
+        .select(
+            F.lit("seeded").alias("kind"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("o_custkey").cast("string").alias("grp"),
+            F.row_number()
+            .over(Window.orderBy(hash_order_key(["o_orderkey"])))
+            .alias("rn"),
+        )
     )
+    ev = load(spark, sf_dir, "events")
+    strat = (
+        stratified_sample(ev, "event_type", ["event_id"], 50)
+        .select("event_id", "event_type")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    hash_order_key(["event_id"])
+                )
+            ),
+        )
+        .select(
+            F.lit("stratified").alias("kind"),
+            F.col("event_id").cast("string").alias("key"),
+            F.col("event_type").alias("grp"),
+            "rn",
+        )
+    )
+    return seeded.unionByName(strat)
 
 
 # T3/T7 + T1 — global top-k slice (kegg_reader.py:98-104) carrying its
@@ -1841,6 +1861,42 @@ def cur_paragraph_dedup(spark, sf_dir):
         "doc_id", F.concat_ws("\n\n", "text", "t2").alias("text")
     )
     return paragraph_dedup(corpus, min_df=2, keep_first=True)
+
+
+# Overlapping token-window chunking (operators/curation.chunk_documents,
+# the RAG/embedding ingestion op) under the hard driver signal: 32-token
+# windows sharing 8 tokens (stride 24). Pure string/int algebra, so the
+# oracle recomputes every chunk boundary and text exactly (Spark
+# F.slice(arr, start, LEN) == DuckDB list_slice(arr, start, start+LEN-1),
+# same convention dd_ngram_jaccard's oracle established).
+@register(
+    "cur_chunk_documents",
+    f"""
+    WITH sized AS (
+      SELECT doc_id AS id, {_TOKS_SQL} AS toks,
+             greatest(CAST(ceil((len({_TOKS_SQL}) - 8) / 24.0) AS INT), 1)
+               AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT id, n_chunks, toks, unnest(range(n_chunks)) AS chunk_id
+      FROM sized
+    )
+    SELECT id, chunk_id, n_chunks,
+           len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+             AS n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+             AS chunk_text
+    FROM chunks
+    """,
+)
+def cur_chunk_documents(spark, sf_dir):
+    from .operators.curation import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
 
 
 # Sessionization — gap-based sessions as window algebra (event-pipeline op).
