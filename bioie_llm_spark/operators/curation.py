@@ -252,9 +252,9 @@ def mix_sources(
     """Draw the mixture: within each source, rank docs by the portable
     md5 hash order and keep the first ``target`` rows. Deterministic at
     any parallelism (sampling-module rationale); one window shuffle keyed
-    on source — for a corpus whose largest source skews that shuffle, the
-    zero-shuffle alternative is a hash-threshold filter (keep rows whose
-    hash < target/count quantile), trading exact counts for expected ones.
+    on source — for a corpus whose largest source skews that shuffle, use
+    ``mix_sources_threshold`` (same hash key as a [0,1) bucket, pure
+    filter, zero shuffle), trading exact counts for expected ones.
 
     Returns the sampled rows as (id, source, rn).
     """
