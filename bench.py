@@ -132,6 +132,50 @@ def run_pipeline_level(cpus: int, corpus_dir: str, gaz_dir: str, n_files: int) -
     }
 
 
+def _pinned_env() -> dict:
+    """Subprocess env for pinned-level runs: shuffle scratch on tmpfs so
+    the measurement is compute scaling, not disk jitter."""
+    env = dict(os.environ)
+    if os.path.isdir("/dev/shm"):
+        env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    return env
+
+
+def run_pinned_level(
+    n: int, corpus_dir: str, gaz_dir: str, n_files: int, env: dict
+) -> dict:
+    """One --single-level run in a fresh JVM, taskset-pinned to exactly n
+    cores when available (an honest N-core 'cluster': JVM threads and
+    Python workers share the pinned set). Shared by --scaling (8 vs 32
+    cores) and --size-scaling (32 cores, growing input)."""
+    import shutil
+
+    cmd = [
+        sys.executable, __file__, "--single-level", str(n),
+        corpus_dir, gaz_dir, str(n_files),
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    r = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _scaling_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+
+
+def _read_scaling() -> dict:
+    if os.path.exists(_scaling_path()):
+        with open(_scaling_path()) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_scaling(data: dict) -> None:
+    with open(_scaling_path(), "w") as f:
+        json.dump(data, f, indent=1)
+
+
 def _warm_dir(sf_dir: str) -> str:
     """A small sibling sf directory for plan warm-up (sf0.01 next to the
     target), falling back to the target itself."""
@@ -281,24 +325,11 @@ def main() -> None:
         sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "4.0"))
         root = os.path.join(tempfile.gettempdir(), "bioie_bench")
         corpus_dir, gaz_dir, n_files = materialize_corpus(sf, root)
-        out = {}
-        env = dict(os.environ)
-        # shuffle scratch on tmpfs: measure compute scaling, not disk jitter
-        if os.path.isdir("/dev/shm"):
-            env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-        import shutil
-
-        for n in (8, 32):
-            cmd = [
-                sys.executable, __file__, "--single-level", str(n),
-                corpus_dir, gaz_dir, str(n_files),
-            ]
-            if shutil.which("taskset"):
-                # pin to exactly n cores: an honest N-core "cluster" — JVM
-                # threads and Python workers share the pinned set
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-            r = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
-            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        env = _pinned_env()
+        out = {
+            n: run_pinned_level(n, corpus_dir, gaz_dir, n_files, env)
+            for n in (8, 32)
+        }
         tp8, tp32 = out[8]["files_per_sec"], out[32]["files_per_sec"]
         el8 = out[8]["extract_link_files_per_sec"]
         el32 = out[32]["extract_link_files_per_sec"]
@@ -322,16 +353,10 @@ def main() -> None:
         # persist so the default (driver-recorded) bench can carry the
         # latest measured scaling evidence alongside its own timings;
         # preserve the size-scaling section measured by --size-scaling
-        scaling_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
-        )
-        if os.path.exists(scaling_path):
-            with open(scaling_path) as f:
-                prev = json.load(f)
-            if "size_scaling" in prev:
-                result["size_scaling"] = prev["size_scaling"]
-        with open(scaling_path, "w") as f:
-            json.dump(result, f, indent=1)
+        prev = _read_scaling()
+        if "size_scaling" in prev:
+            result["size_scaling"] = prev["size_scaling"]
+        _write_scaling(result)
         print(json.dumps(result))
         return
 
@@ -340,23 +365,12 @@ def main() -> None:
         # input data. Linear scaling in data = flat files/sec (runtime
         # grows proportionally to input, never worse) — the property that
         # lets the sf-calibrated throughput be extrapolated to 10^12 files.
-        import shutil
-
         root = os.path.join(tempfile.gettempdir(), "bioie_bench")
-        env = dict(os.environ)
-        if os.path.isdir("/dev/shm"):
-            env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+        env = _pinned_env()
         out = {}
         for sf in (1.0, 4.0):
             corpus_dir, gaz_dir, n_files = materialize_corpus(sf, root)
-            cmd = [
-                sys.executable, __file__, "--single-level", "32",
-                corpus_dir, gaz_dir, str(n_files),
-            ]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", "0-31"] + cmd
-            r = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
-            out[sf] = json.loads(r.stdout.strip().splitlines()[-1])
+            out[sf] = run_pinned_level(32, corpus_dir, gaz_dir, n_files, env)
         result = {
             "metric": "kg_size_scaling_throughput_ratio",
             "value": round(out[4.0]["files_per_sec"] / out[1.0]["files_per_sec"], 3),
@@ -372,16 +386,9 @@ def main() -> None:
             "pipeline_sec_sf4": out[4.0]["pipeline_sec"],
             "cpus": 32,
         }
-        scaling_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
-        )
-        data = {}
-        if os.path.exists(scaling_path):
-            with open(scaling_path) as f:
-                data = json.load(f)
+        data = _read_scaling()
         data["size_scaling"] = result
-        with open(scaling_path, "w") as f:
-            json.dump(data, f, indent=1)
+        _write_scaling(data)
         print(json.dumps(result))
         return
 
@@ -399,10 +406,9 @@ def main() -> None:
         "skew_dropped_postings": r["skew_dropped_postings"],
         "generate_prompts_per_sec": r["generate_prompts_per_sec"],
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            payload["scaling"] = json.load(f)  # measured by `bench.py --scaling`
+    scaling = _read_scaling()  # measured by `bench.py --scaling` / --size-scaling
+    if scaling:
+        payload["scaling"] = scaling
     print(json.dumps(payload))
 
 

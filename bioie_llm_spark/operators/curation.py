@@ -118,11 +118,17 @@ def paragraph_dedup(
     quadratic; hot boilerplate hashes are single aggregate rows, not
     posting lists.
     """
+    import re as _re
+
     from .dedup import normalized_text
 
+    # F.split takes a Java regex; escape so `sep` is always literal (an
+    # unescaped "|" or "." separator would split between every character)
     paras = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "para"
+        ),
     ).withColumn("h", F.md5(normalized_text(F.col("para"))))
     stats = paras.groupBy("h").agg(
         F.countDistinct("id").alias("df"),
@@ -172,7 +178,12 @@ def py_paragraph_dedup(
     import re as _re
 
     def norm(s: str) -> str:
-        return _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", "", s.lower())).strip()
+        # re.ASCII: Java's \s in the Spark op is ASCII-only; without the
+        # flag Python's \s also matches \xa0 etc. and the twins diverge
+        return _re.sub(
+            r"\s+", " ", _re.sub(r"[^a-z0-9\s]", "", s.lower(), flags=_re.ASCII),
+            flags=_re.ASCII,
+        ).strip()
 
     paras = [
         (i, pos, p, norm(p))
@@ -218,7 +229,9 @@ def source_mix_targets(
     fractional exponents use floats.
     """
     size = (
-        F.count("*") if size_col is None else F.sum(size_col).cast("long")
+        F.count("*")
+        if size_col is None
+        else F.coalesce(F.sum(size_col), F.lit(0)).cast("long")
     ).alias("sz")
     counts = {
         r["src"]: (r["n"], r["sz"])
@@ -227,17 +240,17 @@ def source_mix_targets(
         .collect()
     }
     k = 1.0 / temperature
-    if float(k).is_integer():
-        weights = {s: sz ** int(k) for s, (_, sz) in counts.items()}
-        sw = sum(weights.values())
-        return {
-            s: (counts[s][0], min(counts[s][0], total * w // sw))
-            for s, w in weights.items()
-        }
-    weights = {s: float(sz) ** k for s, (_, sz) in counts.items()}
+    integral = float(k).is_integer()
+    weights = {
+        s: sz ** int(k) if integral else float(sz) ** k
+        for s, (_, sz) in counts.items()
+    }
     sw = sum(weights.values())
+    if sw == 0:  # every source empty-sized: nothing to draw
+        return {s: (c, 0) for s, (c, _) in counts.items()}
+    quota = (lambda w: total * w // sw) if integral else (lambda w: int(total * w / sw))
     return {
-        s: (counts[s][0], min(counts[s][0], int(total * w / sw)))
+        s: (counts[s][0], min(counts[s][0], quota(w)))
         for s, w in weights.items()
     }
 
@@ -460,11 +473,16 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         ).alias("n_violations"),
         F.sum("oversize").alias("n_oversize_bins"),
         F.round(
-            F.avg(
-                F.when(
-                    F.col("oversize") == 0,
-                    F.col("bin_tokens") / F.lit(float(max_tokens)),
-                )
+            # coalesce: avg over zero regular bins (all-oversize corpus)
+            # is NULL, and consumers compare it numerically
+            F.coalesce(
+                F.avg(
+                    F.when(
+                        F.col("oversize") == 0,
+                        F.col("bin_tokens") / F.lit(float(max_tokens)),
+                    )
+                ),
+                F.lit(0.0),
             ),
             4,
         ).alias("mean_utilization"),

@@ -40,16 +40,24 @@ def seeded_sample(df: DataFrame, key_cols: list[str], n: int, seed: int = SEED) 
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, key_cols: list[str], n_per_stratum: int, seed: int = SEED
+    df: DataFrame,
+    strata_col: str,
+    key_cols: list[str],
+    n_per_stratum: int,
+    seed: int = SEED,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """T4: n rows per stratum, hash-ordered within stratum (the reference's
     per-rel_type `random.sample`, indra_processor.py:147-149). Single window
-    shuffle on the stratum key."""
+    shuffle on the stratum key. ``rank_col`` keeps the within-stratum rank
+    under that name — callers needing it must not recompute the window
+    (the two copies would have to stay bit-identical forever)."""
     w = Window.partitionBy(strata_col).orderBy(hash_order_key(key_cols, seed))
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n_per_stratum
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_per_stratum)
-        .drop("__rn")
+        out.withColumnRenamed("__rn", rank_col) if rank_col else out.drop("__rn")
     )
 
 

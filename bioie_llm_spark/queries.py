@@ -735,23 +735,13 @@ def t2_t4_sampling(spark, sf_dir):
         )
     )
     ev = load(spark, sf_dir, "events")
-    strat = (
-        stratified_sample(ev, "event_type", ["event_id"], 50)
-        .select("event_id", "event_type")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy(
-                    hash_order_key(["event_id"])
-                )
-            ),
-        )
-        .select(
-            F.lit("stratified").alias("kind"),
-            F.col("event_id").cast("string").alias("key"),
-            F.col("event_type").alias("grp"),
-            "rn",
-        )
+    strat = stratified_sample(
+        ev, "event_type", ["event_id"], 50, rank_col="rn"
+    ).select(
+        F.lit("stratified").alias("kind"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("event_type").alias("grp"),
+        "rn",
     )
     return seeded.unionByName(strat)
 
