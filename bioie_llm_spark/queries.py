@@ -1495,6 +1495,41 @@ def sim_ann_recall(spark, sf_dir):
     lang AS (
       SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred
       FROM best WHERE rn = 1
+    ),
+    reps AS (
+      SELECT doc_id,
+             list_transform(
+               range(greatest(len(ntoks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(ntoks, i + 1, i + 3), ' ')
+             ) AS grams
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ntoks
+            FROM documents)
+    ),
+    rep AS (
+      SELECT doc_id,
+             coalesce(round(
+               list_max(list_transform(list_distinct(grams),
+                        g -> len(list_filter(grams, x -> x = g))))
+               / len(grams), 4), CAST(0.0 AS DOUBLE)) AS repetition
+      FROM reps
+    ),
+    scrub AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' contact bob@example.com at https://example.com/x from 10.0.0.1'
+                    ELSE text END,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS s
+      FROM documents
+    ),
+    masks AS (
+      SELECT doc_id, CAST(
+          (length(s) - length(replace(s, '<EMAIL>', ''))) / 7
+        + (length(s) - length(replace(s, '<URL>', ''))) / 5
+        + (length(s) - length(replace(s, '<IP>', ''))) / 4 AS INT) AS n_masks
+      FROM scrub
     )
     SELECT d.doc_id,
            len(toks) AS n_tokens,
@@ -1503,8 +1538,13 @@ def sim_ann_recall(spark, sf_dir):
              'sum'), 0) AS INT) AS n_bpe,
            md5({_NORM_SQL}) AS fp,
            l.lang_pred AS lang_pred,
-           round({_QUALITY_SQL}, 4) AS quality
-    FROM docs d JOIN lang l ON d.doc_id = l.doc_id
+           round({_QUALITY_SQL}, 4) AS quality,
+           r.repetition AS repetition,
+           m.n_masks AS n_masks
+    FROM docs d
+    JOIN lang l ON d.doc_id = l.doc_id
+    JOIN rep r ON d.doc_id = r.doc_id
+    JOIN masks m ON d.doc_id = m.doc_id
     """,
 )
 def txt_profile(spark, sf_dir):
@@ -1513,10 +1553,32 @@ def txt_profile(spark, sf_dir):
         fingerprint,
         language_id,
         quality_score,
+        repetition_ratio,
+        scrub_pii,
         token_count,
     )
 
     d = load(spark, sf_dir, "documents")
+    # PII is injected deterministically into every 11th doc so the scrub
+    # pass has real work whose mask count the oracle recomputes (the
+    # synthetic corpus itself contains no emails/URLs/IPs)
+    injected = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " contact bob@example.com at https://example.com/x from 10.0.0.1"
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = scrub_pii(injected)
+
+    def mask_count(token: str):
+        return (
+            F.length(scrubbed)
+            - F.length(F.replace(scrubbed, F.lit(token), F.lit("")))
+        ) / F.lit(len(token))
+
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -1524,6 +1586,10 @@ def txt_profile(spark, sf_dir):
         fingerprint(F.col("text")).alias("fp"),
         language_id(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text")).alias("quality"),
+        repetition_ratio(F.col("text")).alias("repetition"),
+        (mask_count("<EMAIL>") + mask_count("<URL>") + mask_count("<IP>"))
+        .cast("int")
+        .alias("n_masks"),
     )
 
 
