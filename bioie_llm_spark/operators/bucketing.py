@@ -50,7 +50,16 @@ def ensure_bucketed_table(
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = os.path.join(wh, table.lower())
+        # a database-qualified name 'db.tbl' lives at <warehouse>/db.db/tbl,
+        # not <warehouse>/db.tbl — build the managed location accordingly or
+        # the stale-dir clear misses and CREATE fails LOCATION_ALREADY_EXISTS
+        parts = table.lower().split(".")
+        rel = (
+            os.path.join(f"{parts[-2]}.db", parts[-1])
+            if len(parts) >= 2
+            else parts[0]
+        )
+        loc = os.path.join(wh, rel)
         if wh and os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(df, table, bucket_cols, n_buckets, sort_cols)

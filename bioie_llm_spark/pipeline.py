@@ -97,7 +97,13 @@ def build_triples(
 
         from .operators.bucketing import ensure_bucketed_table
 
-        table = "triples_by_subj_" + hashlib.md5(out_dir.encode()).hexdigest()[:10]
+        # key the table name on everything that changes the triple content —
+        # out_dir alone would let a same-dir rebuild with a different snapshot
+        # or miss/hallu params silently reuse the PREVIOUS build's bucketed
+        # rows in one long-lived session (ensure_bucketed_table skips the
+        # rewrite whenever the catalog already has the name)
+        build_key = f"{out_dir}|{snapshot}|{miss_per_mille}|{hallu_per_mille}"
+        table = "triples_by_subj_" + hashlib.md5(build_key.encode()).hexdigest()[:10]
         stages["triples_bucketed_table"] = ensure_bucketed_table(
             triples, table, ["subj"], n_buckets=8
         )

@@ -107,6 +107,28 @@ def _kg_root(sf_dir: str) -> str:
     )
 
 
+def _stream_equiv_root(sf_dir: str) -> str:
+    """Deterministic scratch root for st_stream_batch_equiv's drained stream
+    sinks, keyed by sf + a hash of the streaming/dedup module sources (same
+    write-once rationale as _kg_root; bounds /tmp to one dir per code
+    version instead of one per invocation)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators import dedup as _dedup_mod
+    from .streaming import incremental as _inc_mod
+
+    h = hashlib.md5()
+    for mod in (_inc_mod, _dedup_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"bioie_stream_equiv_sf{_kg_sf(sf_dir)}_{h.hexdigest()[:8]}",
+    )
+
+
 def _kg_stages(spark: SparkSession, sf_dir: str) -> dict:
     from .datagen.corpus import CorpusSpec
     from .pipeline import build_triples
@@ -1902,7 +1924,7 @@ def w1_f12_running_json(spark, sf_dir):
            coalesce(string_agg(CASE WHEN keep THEN para END,
                                chr(10) || chr(10) ORDER BY pos), '') AS text,
            count(*) AS n_paras,
-           sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM marked GROUP BY doc_id
     """,
 )
@@ -2009,7 +2031,7 @@ def sess_gap_sessions(spark, sf_dir):
     ),
     hits AS (
       SELECT e.doc_id, e.n_grams,
-             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
       FROM ex e LEFT JOIN bench b ON e.g = b.g
       GROUP BY 1, 2
     )
@@ -2199,7 +2221,9 @@ def mm_binary_pipeline(spark, sf_dir):
     """,
 )
 def st_stream_batch_equiv(spark, sf_dir):
-    import tempfile
+    import os
+    import shutil
+    import uuid
 
     from .operators.dedup import normalized_text
     from .streaming.incremental import (
@@ -2208,14 +2232,46 @@ def st_stream_batch_equiv(spark, sf_dir):
         windowed_event_counts,
     )
 
-    root = tempfile.mkdtemp(prefix="bioie_stream_equiv_")
-    # file stream sources need directories; the driver tables are files
+    # deterministic per-(sf, streaming-source-hash) scratch root (ADVICE r3:
+    # a mkdtemp per invocation accumulated unbounded /tmp across repeated
+    # registry/bench/pytest runs). Drained sinks are reused when the __done
+    # marker exists — same write-once shape as _kg_root — and a code change
+    # in the streaming/dedup modules rolls the hash so stale sinks can never
+    # satisfy a new formulation. Built under a scratch sibling + one atomic
+    # rename, so concurrent builders never expose a half-drained sink.
+    root = _stream_equiv_root(sf_dir)
+    marker = os.path.join(root, "__done")
     docs = load(spark, sf_dir, "documents")
     events = load(spark, sf_dir, "events")
-    docs.write.parquet(f"{root}/docs_src")
-    events.write.parquet(f"{root}/events_src")
+    if not os.path.exists(marker):
+        if os.path.exists(root):  # pre-atomic corpse or older partial build
+            shutil.rmtree(root, ignore_errors=True)
+        scr = f"{root}.__tmp-{uuid.uuid4().hex[:12]}"
+        # file stream sources need directories; the driver tables are files
+        docs.write.parquet(f"{scr}/docs_src")
+        events.write.parquet(f"{scr}/events_src")
+        stream_dedup_docs(
+            spark, f"{scr}/docs_src", f"{scr}/dedup_out", f"{scr}/dedup_ckpt"
+        )
+        run_windowed_events_stream(
+            spark, f"{scr}/events_src", f"{scr}/win_out", f"{scr}/win_ckpt"
+        )
+        # the file-sink _spark_metadata log records ABSOLUTE file paths; a
+        # batch read resolves the file list through it, so after the rename
+        # it would point at the vanished scratch path. The sinks are final
+        # (marker short-circuits any re-drain) — drop the logs and let the
+        # batch read list the directory directly.
+        for sink in ("dedup_out", "win_out"):
+            shutil.rmtree(
+                os.path.join(scr, sink, "_spark_metadata"), ignore_errors=True
+            )
+        with open(os.path.join(scr, "__done"), "w") as f:
+            f.write("drained")
+        try:
+            os.rename(scr, root)
+        except OSError:  # lost the race — winner's copy is complete
+            shutil.rmtree(scr, ignore_errors=True)
 
-    stream_dedup_docs(spark, f"{root}/docs_src", f"{root}/dedup_out", f"{root}/dedup_ckpt")
     d_out = spark.read.parquet(f"{root}/dedup_out").select("content_key")
     batch_keys = docs.select(
         F.md5(normalized_text(F.col("text"))).alias("content_key")
@@ -2232,7 +2288,6 @@ def st_stream_batch_equiv(spark, sf_dir):
         )
     )
 
-    run_windowed_events_stream(spark, f"{root}/events_src", f"{root}/win_out", f"{root}/win_ckpt")
     w_out = spark.read.parquet(f"{root}/win_out")
     wm = events.agg(
         (F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 15 MINUTES")).alias("wm")

@@ -105,15 +105,14 @@ def stateful_user_totals(
     running total. At scale the sink is a partitioned table and the
     compaction is one hash-agg; the state itself lives in the stream
     checkpoint either way. The batch groupBy remains the exact oracle."""
-    import os
-    import tempfile
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_dir = out_dir or os.path.join(
-        tempfile.mkdtemp(prefix="bioie_user_totals_"), "emissions"
-    )
+    # default the emissions log NEXT TO the caller-owned checkpoint, not a
+    # fresh mkdtemp per call (ADVICE r3): the two share a lifecycle anyway —
+    # resuming from the checkpoint must also see the prior emissions for the
+    # max-per-key compaction — and repeated runs no longer leak /tmp dirs.
+    out_dir = out_dir or checkpoint_dir.rstrip("/") + "__emissions"
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
 

@@ -121,6 +121,60 @@ def test_flagship_bucketed_sink_colocated_remap(spark, tiny_spec, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_mapping_b")
 
 
+def test_bucketed_sink_keyed_on_snapshot_and_params(spark, tiny_spec, tmp_path):
+    """ADVICE r3 #1: rebuilding the SAME out_dir with a different snapshot or
+    miss/hallu params must not silently reuse the previous build's bucketed
+    triples — the table name is keyed on (out_dir, snapshot, params), so each
+    build registers (and writes) its own table."""
+    from bioie_llm_spark.pipeline import build_triples
+
+    out = str(tmp_path / "kg")
+    s1 = build_triples(spark, tiny_spec, out_dir=out, snapshot="snap-000")
+    s2 = build_triples(
+        spark, tiny_spec, out_dir=out, snapshot="snap-001", miss_per_mille=500
+    )
+    t1, t2 = s1["triples_bucketed_table"], s2["triples_bucketed_table"]
+    try:
+        assert t1 != t2, "different snapshot/params must map to a new table"
+        n1 = spark.table(t1).count()
+        n2 = spark.table(t2).count()
+        # miss_per_mille=500 drops ~half the extractions — the second build's
+        # bucketed table must reflect ITS content, not the first build's
+        assert n2 < n1
+        assert n2 == s2["triples"].count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_ensure_bucketed_db_qualified_orphan_cleanup(spark, tiny_spec):
+    """ADVICE r3 #2: a database-qualified table 'db.tbl' lives at
+    <warehouse>/db.db/tbl; the orphan-location clear must resolve that path
+    (not <warehouse>/db.tbl) or CREATE fails LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    from bioie_llm_spark.datagen.corpus import build_facts
+    from bioie_llm_spark.operators.bucketing import ensure_bucketed_table
+
+    facts = build_facts(spark, tiny_spec)
+    spark.sql("CREATE DATABASE IF NOT EXISTS tdb_orph")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, "tdb_orph.db", "t_orphan")
+    try:
+        # simulate a previous session's leftover managed dir with the
+        # catalog having forgotten the table
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "stale.parquet"), "w") as f:
+            f.write("stale")
+        assert not spark.catalog.tableExists("tdb_orph.t_orphan")
+        ensure_bucketed_table(facts, "tdb_orph.t_orphan", ["subj"], 4)
+        assert spark.table("tdb_orph.t_orphan").count() == facts.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tdb_orph.t_orphan")
+        spark.sql("DROP DATABASE IF EXISTS tdb_orph")
+
+
 def test_bucketed_results_match_plain(spark, bucketed_tables, tiny_spec):
     from bioie_llm_spark.datagen.corpus import build_facts
     from bioie_llm_spark.operators.adjacency import symmetric_adjacency

@@ -30,15 +30,34 @@ def _canon(v):
 
 
 def _duck(sql: str):
+    """Fetch oracle rows the way the driver does — through Arrow — so type
+    artifacts the driver would see (e.g. DuckDB typing ``sum(CASE ...)`` as
+    HUGEINT, which Arrow renders decimal128 and stringifies ``3.0`` against
+    Spark's bigint ``3``) fail HERE, not only in CORRECTNESS_r{N}.json.
+    A plain ``fetchall()`` hid that class: HUGEINT -> Python int -> str()
+    matched, while the driver's pandas/Arrow fetch diverged (round-3 red rows
+    cur_paragraph_dedup / cur_contamination)."""
+    import pyarrow.types as pat
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).arrow()
     con.close()
+    bad = [
+        (f.name, str(f.type))
+        for f in tbl.schema
+        if pat.is_decimal(f.type)
+    ]
+    assert not bad, (
+        f"oracle result has DECIMAL/HUGEINT-typed columns {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT) (repo convention) — "
+        "the driver's Arrow fetch stringifies these differently from Spark"
+    )
+    cols = tbl.schema.names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
     return cols, rows
 
 
@@ -51,6 +70,18 @@ def _spark_rows(df):
 def _multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def test_duck_fetch_rejects_hugeint():
+    """Meta-test for the blind-spot fix: an uncast ``sum(CASE ...)`` (HUGEINT
+    in DuckDB) must trip the schema guard, and the repo-convention CAST must
+    pass it."""
+    with pytest.raises(AssertionError, match="DECIMAL/HUGEINT"):
+        _duck("SELECT sum(CASE WHEN r_regionkey >= 0 THEN 1 ELSE 0 END) AS x FROM region")
+    cols, rows = _duck(
+        "SELECT CAST(sum(CASE WHEN r_regionkey >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS x FROM region"
+    )
+    assert cols == ["x"] and isinstance(rows[0][0], int)
 
 
 ORACLE_CASES = sorted(
