@@ -170,7 +170,17 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
     though the pin is the engine's own prior output; pytest additionally
     recomputes the same numbers in DuckDB from the pairs parquet
     (tests/test_metrics.py) so a third engine closes the loop."""
-    pairs = out["pairs"].select("pred", F.col("true").alias("gold"))
+    # eager localCheckpoint before the recompute (VERDICT r3 #7): the SQL
+    # below scans the pairs view four times and without truncation each scan
+    # replays the ENTIRE task pipeline — kg_relation_task's driver query
+    # carried 768 exchanges / 1,540 hashaggs of pure re-verification plan.
+    # The pairs frame is driver-check-sized (<= a few thousand rows), so the
+    # eager materialization is bounded; eager (not lazy) per the measured
+    # persistence race on multi-consumer frames.
+    pairs = (
+        out["pairs"].select("pred", F.col("true").alias("gold"))
+        .localCheckpoint(eager=True)
+    )
     pairs.createOrReplaceTempView(view)
     rec = spark.sql(f"""
         WITH lab AS (
@@ -194,7 +204,13 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
           SELECT label, tp, fp, fn, tp + fn AS support,
                  CASE WHEN 2 * tp + fp + fn > 0
                       THEN cast(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
-                      ELSE cast(0 AS DOUBLE) END AS f
+                      ELSE cast(0 AS DOUBLE) END AS f,
+                 CASE WHEN tp + fp > 0
+                      THEN cast(tp AS DOUBLE) / (tp + fp)
+                      ELSE cast(0 AS DOUBLE) END AS p,
+                 CASE WHEN tp + fn > 0
+                      THEN cast(tp AS DOUBLE) / (tp + fn)
+                      ELSE cast(0 AS DOUBLE) END AS r
           FROM per
         )
         SELECT CASE WHEN sum(tp) + sum(fp) > 0
@@ -207,9 +223,21 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
                     THEN cast(2 * sum(tp) AS DOUBLE) / (2 * sum(tp) + sum(fp) + sum(fn))
                     ELSE cast(0 AS DOUBLE) END AS r_micro_f1,
                avg(f) AS r_macro_f1,
+               avg(p) AS r_macro_p,
+               avg(r) AS r_macro_r,
                CASE WHEN sum(support) > 0
                     THEN sum(support * f) / sum(support)
-                    ELSE cast(0 AS DOUBLE) END AS r_weighted_f1
+                    ELSE cast(0 AS DOUBLE) END AS r_weighted_f1,
+               CASE WHEN sum(support) > 0
+                    THEN sum(support * p) / sum(support)
+                    ELSE cast(0 AS DOUBLE) END AS r_weighted_p,
+               -- weighted recall via the independent identity
+               -- sum(support * tp/support) = sum(tp over supported classes)
+               CASE WHEN sum(support) > 0
+                    THEN sum(CASE WHEN support > 0
+                                  THEN cast(tp AS DOUBLE) ELSE 0 END)
+                         / sum(support)
+                    ELSE cast(0 AS DOUBLE) END AS r_weighted_r
         FROM cls
     """)
     tol = 1e-9
@@ -219,8 +247,14 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
         & (F.abs(F.col("micro_f1") - F.col("r_micro_f1")) < tol)
         & (F.abs(F.col("macro_f1") - F.col("r_macro_f1")) < tol)
         & (F.abs(F.col("weighted_f1") - F.col("r_weighted_f1")) < tol)
+        # ADVICE r3: the five averages above left macro/weighted P+R
+        # unchecked — a bug confined to those columns passed the invariant
+        & (F.abs(F.col("macro_precision") - F.col("r_macro_p")) < tol)
+        & (F.abs(F.col("macro_recall") - F.col("r_macro_r")) < tol)
+        & (F.abs(F.col("weighted_precision") - F.col("r_weighted_p")) < tol)
+        & (F.abs(F.col("weighted_recall") - F.col("r_weighted_r")) < tol)
     )
-    n_pairs = out["pairs"].agg(F.count("*").cast("long").alias("n_pairs"))
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
     joined = out["metrics"].crossJoin(rec).crossJoin(n_pairs)
     return round_doubles(
         joined.select(*_METRIC_COLS, "n_pairs", agree.alias("recompute_ok"))
@@ -302,7 +336,45 @@ def kg_kegg_entity_task(spark, sf_dir):
     return _metrics_with_recompute(spark, out, "kg_kegg_pairs")
 
 
-@register("kg_funnel", golden_sql("kg_funnel"))
+def _lineage_glob() -> str:
+    """DuckDB-readable glob over the materialized lineage parquet for the
+    oracle sf (the driver's correctness gate runs at sf0.01). Computable at
+    import time because _kg_root depends only on module source hashes; the
+    files exist by oracle time because the registry's leading kg_* Spark
+    queries materialize the stages first (driver runs Spark-side then
+    oracle, in registry order)."""
+    import os
+
+    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    return os.path.join(root, "_lineage", "*", "*", "*.parquet")
+
+
+# kg_funnel / kg_lineage oracles are COMPUTED (VERDICT r3 #3), not pinned:
+# DuckDB re-aggregates the per-partition lineage parquet the pipeline wrote
+# — an independent engine recomputing the funnel counts, stage totals, and
+# xor-combined content hashes from the same audit trail. CAST sums to
+# BIGINT (DuckDB types sum() as HUGEINT; repo convention).
+@register(
+    "kg_funnel",
+    f"""
+    WITH lin AS (
+      SELECT stage, n_rows
+      FROM read_parquet('{_lineage_glob()}', hive_partitioning = 1)
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN stage = 'corpus' THEN n_rows END) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN stage = 'raw' THEN n_rows END) AS BIGINT) AS n_raw_mentions,
+        CAST(sum(CASE WHEN stage = 'linked' THEN n_rows END) AS BIGINT) AS n_linked,
+        CAST(sum(CASE WHEN stage = 'triples' THEN n_rows END) AS BIGINT) AS n_triples
+      FROM lin
+    )
+    SELECT n_files, n_raw_mentions, n_linked, n_triples,
+           round(coalesce(CAST(n_linked AS DOUBLE) / n_raw_mentions,
+                          CAST(0.0 AS DOUBLE)), 4) AS link_rate
+    FROM agg
+    """,
+)
 def kg_funnel(spark, sf_dir):
     """Extraction funnel: corpus files -> raw mentions -> linked -> distinct
     triples, derived from the LINEAGE of the materialized stages — the
@@ -329,7 +401,17 @@ def kg_funnel(spark, sf_dir):
     )
 
 
-@register("kg_lineage", golden_sql("kg_lineage"))
+@register(
+    "kg_lineage",
+    f"""
+    SELECT stage,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           bit_xor(content_hash) AS content_hash
+    FROM read_parquet('{_lineage_glob()}', hive_partitioning = 1)
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
 def kg_lineage(spark, sf_dir):
     """Per-stage lineage digest of the materialized pipeline. Aggregated to
     stage granularity because per-partition rows depend on write-time
@@ -352,17 +434,71 @@ def kg_lineage(spark, sf_dir):
 @register("kg_hot_predicates", golden_sql("kg_hot_predicates"))
 def kg_hot_predicates(spark, sf_dir):
     """Skew introspection over the triple table: heavy-hitter predicates
-    (drives salting decisions) + salted per-predicate counts."""
-    from .operators.skew import broadcast_hot_keys, salted_count
+    (drives salting decisions) + salted per-predicate counts.
+
+    Computed invariants inside the pin (VERDICT r3 #8 — the whole
+    operators/skew toolkit under the hard driver signal, no new registry
+    slot):
+
+    - ``salted_eq_ok``: salted_count AND salted_collect_set agree with the
+      plain single-shuffle groupBy for EVERY predicate (full outer join —
+      a key lost or invented by the two-phase salted path flips it);
+    - ``skew_bound_ok``: every reported hot key's count really exceeds
+      threshold*total, their combined mass is <= total, and there are at
+      most floor(1/threshold) of them — recomputed from the table, not
+      trusted from broadcast_hot_keys.
+    """
+    from .operators.skew import broadcast_hot_keys, salted_collect_set, salted_count
 
     t = _kg_stages(spark, sf_dir)["triples"]
-    hot = broadcast_hot_keys(t, ["pred"], threshold_frac=0.05).withColumnRenamed(
+    threshold = 0.05
+    hot = broadcast_hot_keys(t, ["pred"], threshold_frac=threshold).withColumnRenamed(
         "n", "n_plain"
     )
     salted = salted_count(t, ["pred"]).withColumnRenamed("n", "n_salted")
-    return hot.join(salted, "pred").select(
-        "pred", "n_plain", "n_salted", F.round("frac", 4).alias("frac"),
-        (F.col("n_plain") == F.col("n_salted")).alias("salted_agrees"),
+
+    plain = t.groupBy("pred").agg(
+        F.count("*").alias("n_ref"),
+        F.array_sort(F.collect_set("obj")).alias("obj_ref"),
+    )
+    salted_set = salted_collect_set(t, ["pred"], "obj")
+    eq = (
+        plain.join(salted, "pred", "full")
+        .join(salted_set, "pred", "full")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("n_ref").isNull()
+                        | F.col("n_salted").isNull()
+                        | (F.col("n_ref") != F.col("n_salted"))
+                        | (F.col("obj_ref") != F.col("obj_set")),
+                        1,
+                    )
+                )
+                == 0
+            ).alias("salted_eq_ok")
+        )
+    )
+    total = t.agg(F.count("*").alias("n_total"))
+    bound = (
+        hot.crossJoin(total)
+        .agg(
+            (
+                (F.count(F.when(F.col("n_plain") < threshold * F.col("n_total"), 1)) == 0)
+                & (F.coalesce(F.sum("n_plain"), F.lit(0)) <= F.first("n_total"))
+                & (F.count("*") <= int(1 / threshold))
+            ).alias("skew_bound_ok")
+        )
+    )
+    return (
+        hot.join(salted, "pred")
+        .select(
+            "pred", "n_plain", "n_salted", F.round("frac", 4).alias("frac"),
+            (F.col("n_plain") == F.col("n_salted")).alias("salted_agrees"),
+        )
+        .crossJoin(eq)
+        .crossJoin(bound)
     )
 
 
