@@ -31,12 +31,117 @@ except ImportError:
     _HAS_PIL = False
 
 
-def _real_decode(op: str, *args):  # pragma: no cover - plug point
-    """The real-media plug point: implement with PIL/ffmpeg and the
-    operators below pick it up automatically (they try this first whenever
-    PIL is importable). Until implemented it signals NotImplementedError
-    and callers FALL BACK to the deterministic stub — installing Pillow
-    must never turn a working pipeline into a hard failure (ADVICE r2)."""
+def _ppm_parse(payload: bytes | None) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6, maxval 255) payload -> (width, height, rgb
+    bytes). Raises NotImplementedError for anything else — the signal the
+    per-row real-decode dispatch uses to fall back to the stub."""
+    if not payload or not payload.startswith(b"P6"):
+        raise NotImplementedError("not a P6 PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comments not supported — synthetic corpus writes none), then ONE
+    # whitespace byte, then w*h*3 raw RGB bytes
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # the single whitespace after maxval
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        raise NotImplementedError("malformed PPM header") from None
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise NotImplementedError("unsupported PPM variant")
+    rgb = payload[i : i + w * h * 3]
+    if len(rgb) != w * h * 3:
+        raise NotImplementedError("truncated PPM pixel data")
+    return w, h, rgb
+
+
+def _ppm_encode(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def _nn_resample(w: int, h: int, rgb: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of raw RGB bytes (pure stdlib)."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * h // out_h
+        row = sy * w * 3
+        for x in range(out_w):
+            sx = x * w // out_w
+            out += rgb[row + sx * 3 : row + sx * 3 + 3]
+    return bytes(out)
+
+
+def _image_features(w: int, h: int, rgb: bytes, dim: int = 16) -> list[float]:
+    """Real decoded-image features (16 floats in [-1, 1]): per-channel
+    mean/std, 2x2 quadrant luminance means, luminance min/max/mean, aspect,
+    and mean horizontal/vertical gradients. Deterministic pure stdlib."""
+    n = w * h
+    chans = [rgb[c::3] for c in range(3)]
+    means = [sum(c) / n for c in chans]
+    stds = [
+        (sum((v - m) ** 2 for v in c) / n) ** 0.5 for c, m in zip(chans, means)
+    ]
+    lum = [
+        (rgb[i * 3] + rgb[i * 3 + 1] + rgb[i * 3 + 2]) / 3.0 for i in range(n)
+    ]
+    quads = [[] for _ in range(4)]
+    for y in range(h):
+        for x in range(w):
+            quads[(2 * y // h) * 2 + (2 * x // w)].append(lum[y * w + x])
+    quad_means = [sum(q) / len(q) if q else 0.0 for q in quads]
+    hgrad = (
+        sum(
+            abs(lum[y * w + x + 1] - lum[y * w + x])
+            for y in range(h)
+            for x in range(w - 1)
+        )
+        / max(h * (w - 1), 1)
+    )
+    vgrad = (
+        sum(
+            abs(lum[(y + 1) * w + x] - lum[y * w + x])
+            for y in range(h - 1)
+            for x in range(w)
+        )
+        / max((h - 1) * w, 1)
+    )
+    scaled = [
+        *(m / 127.5 - 1.0 for m in means),
+        *(s / 127.5 - 1.0 for s in stds),
+        *(q / 127.5 - 1.0 for q in quad_means),
+        min(lum) / 127.5 - 1.0,
+        max(lum) / 127.5 - 1.0,
+        sum(lum) / n / 127.5 - 1.0,
+        w / (w + h) * 2.0 - 1.0,
+        hgrad / 127.5 - 1.0,
+        vgrad / 127.5 - 1.0,
+    ]
+    return scaled[:dim]
+
+
+def _real_decode(op: str, *args):
+    """The real-media decode dispatch. PPM (P6) images are decoded with
+    pure stdlib (VERDICT r3 #6 — the real branch runs in CI, no PIL
+    required); any other format raises NotImplementedError so the caller
+    falls back PER ROW to the deterministic stub — a working pipeline is
+    never turned into a hard failure by an exotic payload (ADVICE r2).
+    A PIL/ffmpeg build would extend the dispatch here (gated on _HAS_PIL)
+    and every operator picks it up automatically."""
+    if op == "extract_features":
+        (payload,) = args
+        w, h, rgb = _ppm_parse(payload)
+        return _image_features(w, h, rgb, FEATURE_DIM)
+    if op == "resize_image_row":
+        payload, out_w, out_h = args
+        w, h, rgb = _ppm_parse(payload)
+        return _ppm_encode(out_w, out_h, _nn_resample(w, h, rgb, out_w, out_h))
     raise NotImplementedError(op)
 
 
@@ -61,17 +166,35 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_sha string"
 
 
 def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic opaque assets: payload = unhex(md5-chain of asset id),
-    kind and metadata hash-assigned. Pure expressions."""
+    """Deterministic assets: kind and metadata hash-assigned, pure
+    expressions. Half the image assets carry a REAL 8x8 binary PPM (P6)
+    payload (header + 192 md5-derived RGB bytes) so the real-decode branch
+    is exercised by the standard pipeline; the rest carry opaque md5-chain
+    bytes that route through the deterministic stub — both branches under
+    the same driver signal."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     kind = F.element_at(kinds, F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3)).cast("int") + 1)
-    payload = F.unhex(
+    junk = F.unhex(
         F.concat(
             F.md5(F.col("id").cast("string")),
             F.md5(F.concat(F.lit("p2|"), F.col("id").cast("string"))),
             F.md5(F.concat(F.lit("p3|"), F.col("id").cast("string"))),
         )
     )
+    ppm = F.concat(
+        F.to_binary(F.lit("P6\n8 8\n255\n"), F.lit("UTF-8")),
+        F.unhex(
+            F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"px{j}|"), F.col("id").cast("string")))
+                    for j in range(12)  # 12 x 16 bytes = 8*8*3 RGB bytes
+                ]
+            )
+        ),
+    )
+    payload = F.when(
+        (kind == "image") & (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2)) == 0), ppm
+    ).otherwise(junk)
     meta = F.struct(
         (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(512)) + 16).cast("int").alias("width"),
         (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(512)) + 16).cast("int").alias("height"),
@@ -97,21 +220,21 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. Tries the real
-    decode (_real_decode) when PIL is importable; falls back to the
-    deterministic fake with a one-time warning while that plug point is
-    unimplemented."""
+    """Arrow-batched feature extraction over binary payloads. PER ROW: the
+    real decode runs for formats _real_decode understands (PPM today; PIL
+    formats when that library is present), the deterministic fake covers
+    everything else with a one-time warning — mixed corpora get real
+    features where possible, never an all-or-nothing batch."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = None
-            if _HAS_PIL:  # pragma: no cover - real decode path, not in container
+            feats = []
+            for p in pdf["payload"]:
                 try:
-                    feats = [_real_decode("extract_features", p) for p in pdf["payload"]]
+                    feats.append(_real_decode("extract_features", p))
                 except NotImplementedError:
                     _stub_fallback("extract_features")
-            if feats is None:
-                feats = [_fake_features(p) for p in pdf["payload"]]
+                    feats.append(_fake_features(p))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -141,12 +264,6 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover - real resample path, not in container
-                try:
-                    yield _real_decode("resize_images", pdf, width, height)
-                    continue
-                except NotImplementedError:
-                    _stub_fallback("resize_images")
             payloads, widths, heights = [], [], []
             for kind, payload, mw, mh in zip(
                 pdf["kind"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]
@@ -156,6 +273,15 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
                     widths.append(mw)
                     heights.append(mh)
                     continue
+                try:  # real nearest-neighbor resample for decodable formats
+                    payloads.append(
+                        _real_decode("resize_image_row", payload, width, height)
+                    )
+                    widths.append(width)
+                    heights.append(height)
+                    continue
+                except NotImplementedError:
+                    _stub_fallback("resize_images")
                 n = width * height
                 seed = hashlib.sha256(
                     (payload or b"") + f"|{width}x{height}".encode()

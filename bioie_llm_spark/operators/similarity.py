@@ -167,17 +167,57 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 2,
 ) -> list[list[float]]:
-    """Deterministic coarse centroids: md5-ordered sample of corpus vectors
-    — a stand-in for k-means that keeps everything RNG-free. Bounded
-    collect (n_centroids rows)."""
-    return [
+    """Deterministic coarse centroids: md5-ordered sample seeds refined by
+    ``lloyd_iters`` Lloyd iterations expressed as DataFrame algebra
+    (assign -> per-cell mean -> reassign; VERDICT r3 #5 — the unrefined
+    sample left IVF recall@10 at 0.72 on the near-isotropic fixture).
+
+    Bit-deterministic at any parallelism: no RNG, argmin ties break on the
+    first minimal index, and the per-cell mean sums FIXED-POINT micro-units
+    (``sum(cast(x * 1e6 as long))`` — integer addition commutes, unlike
+    float summation whose result depends on partition order and would let
+    a 1-ulp difference flip a cell assignment). Each iteration is one
+    corpus pass + one (cell, pos)-key hash agg (<= n_centroids x dim keys,
+    map-side combined); the collects stay n_centroids-row bounded. Empty
+    cells retain their previous centroid."""
+    cents = [
         list(r["__v"])
         for r in corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__i"))
         .orderBy(F.md5(F.concat(F.col("__i").cast("string"), F.lit("|ivf"))))
         .limit(n_centroids)
         .collect()
     ]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(F.col(vec_col).alias("__v")).withColumn(
+            "__cell", ivf_assign(F.col("__v"), cents)
+        )
+        comp = (
+            assigned.select("__cell", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__cell", "__p")
+            .agg(
+                F.sum((F.col("__x") * F.lit(1e6)).cast("long")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
+        )
+        rows = (
+            comp.groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "__p",
+                            (F.col("__s") / (F.col("__n") * F.lit(1e6))).alias("__m"),
+                        )
+                    )
+                ).alias("__ms")
+            )
+            .collect()
+        )
+        refined = {r["__cell"]: [m["__m"] for m in r["__ms"]] for r in rows}
+        cents = [refined.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
 
 
 def ivf_topk(

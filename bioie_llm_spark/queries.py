@@ -1588,8 +1588,13 @@ def sim_ann_recall(spark, sf_dir):
     exact = cosine_topk(emb, q, k=10, query_id_col="query_id").select(
         "query_id", "vec_id"
     )
+    # IVF config on the near-isotropic driver fixture: 8 Lloyd-refined
+    # cells, 6 probed. Unrefined sample centroids measured 0.86 recall@10
+    # here; 2 Lloyd iterations lift it to 0.94 (VERDICT r3 #5), so the
+    # floor rises 0.7 -> 0.85. Real clustered embeddings tolerate far
+    # lower probe fractions; the isotropic fixture is the worst case.
     methods = {
-        "ivf": (ivf_topk(emb, q, k=10, n_centroids=16, n_probe=6), 0.7),
+        "ivf": (ivf_topk(emb, q, k=10, n_centroids=8, n_probe=6), 0.85),
         "lsh": (lsh_ann_topk(emb, q, k=10, n_tables=6, query_id_col="query_id"), 0.9),
     }
     outs = []
@@ -2297,15 +2302,27 @@ def mm_binary_pipeline(spark, sf_dir):
         F.sum((F.col("kind") == "image").cast("int")).cast("long").alias("n_images"),
         F.sum((F.col("kind") == "video").cast("int")).cast("long").alias("n_videos"),
     )
+    # a resized image payload is valid in either branch: REAL decode emits
+    # a P6 at the target box (13-byte header + w*h*3 RGB), the stub emits
+    # its byte-per-pixel stand-in (w*h bytes). n_resized_real pins how many
+    # went through the real PPM path (r4: half the images).
+    ppm_hdr = F.to_binary(F.lit("P6\n64 64\n255\n"), F.lit("UTF-8"))
+    is_real = (F.substring("payload", 1, 13) == ppm_hdr) & (
+        F.length("payload") == 13 + 64 * 64 * 3
+    )
+    is_stub = F.length("payload") == 64 * 64
     r_dig = resize_images(assets, 64, 64).agg(
         F.sum(
             (
                 (F.col("kind") == "image")
                 & (F.col("width") == 64)
                 & (F.col("height") == 64)
-                & (F.length("payload") == 64 * 64)
+                & (is_real | is_stub)
             ).cast("int")
         ).cast("long").alias("n_resized_ok"),
+        F.sum(((F.col("kind") == "image") & is_real).cast("int"))
+        .cast("long")
+        .alias("n_resized_real"),
         F.bit_xor(
             F.xxhash64(
                 "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")

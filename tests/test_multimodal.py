@@ -1,32 +1,94 @@
-"""Multimodal plumbing: asset synthesis, feature extraction, frame sampling."""
+"""Multimodal plumbing: asset synthesis, feature extraction, frame sampling,
+and the pure-stdlib PPM real-decode branch (VERDICT r3 #6)."""
 
+import warnings
+
+import pytest
 from pyspark.sql import functions as F
 
 from bioie_llm_spark.multimodal.binary_ops import (
     FEATURE_DIM,
+    _fake_features,
+    _image_features,
+    _nn_resample,
+    _ppm_encode,
+    _ppm_parse,
     extract_features,
     sample_frames,
     synth_assets,
 )
 
+JUNK_LEN = 48  # 3 md5 digests
+PPM_LEN = len(b"P6\n8 8\n255\n") + 8 * 8 * 3  # header + RGB bytes
+
+
+def _is_ppm(payload: bytes) -> bool:
+    return bytes(payload).startswith(b"P6")
+
 
 def test_synth_assets_shape(spark):
     a = synth_assets(spark, 30)
     assert a.count() == 30
-    row = a.first()
-    assert isinstance(row["payload"], (bytes, bytearray)) and len(row["payload"]) == 48
-    kinds = {r["kind"] for r in a.select("kind").distinct().collect()}
+    rows = a.collect()
+    for row in rows:
+        p = bytes(row["payload"])
+        assert len(p) == (PPM_LEN if _is_ppm(p) else JUNK_LEN)
+        if _is_ppm(p):
+            assert row["kind"] == "image"  # only images carry real media
+    kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
+    # both branches must be represented in the standard corpus
+    assert any(_is_ppm(bytes(r["payload"])) for r in rows)
+    assert any(not _is_ppm(bytes(r["payload"])) for r in rows)
 
 
 def test_extract_features(spark):
-    feats = extract_features(synth_assets(spark, 20))
-    rows = feats.collect()
-    assert len(rows) == 20
-    for r in rows:
+    assets = synth_assets(spark, 20)
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    assert len(feats) == 20
+    for aid, r in feats.items():
         assert len(r["features"]) == FEATURE_DIM
         assert all(-1.0 <= v <= 1.0 for v in r["features"])
-        assert r["n_bytes"] == 48
+        assert r["n_bytes"] == len(payloads[aid])
+
+
+def test_extract_features_real_vs_stub_dispatch(spark):
+    """PPM payloads get REAL decoded features (= direct _image_features of
+    the parsed pixels); junk payloads get the deterministic stub — per row,
+    in the same batch."""
+    assets = synth_assets(spark, 40)
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    feats = {
+        r["asset_id"]: list(r["features"]) for r in extract_features(assets).collect()
+    }
+    n_real = 0
+    for aid, p in payloads.items():
+        if _is_ppm(p):
+            w, h, rgb = _ppm_parse(p)
+            expect = _image_features(w, h, rgb, FEATURE_DIM)
+            n_real += 1
+        else:
+            expect = _fake_features(p)
+        # schema stores float32 — compare to the float64 reference with a
+        # float32-precision tolerance
+        assert all(
+            abs(a - b) < 1e-5 for a, b in zip(feats[aid], expect)
+        ), (aid, feats[aid], expect)
+    assert n_real > 0
+
+
+def test_ppm_roundtrip_and_resample():
+    rgb = bytes(range(2 * 2 * 3))
+    enc = _ppm_encode(2, 2, rgb)
+    assert _ppm_parse(enc) == (2, 2, rgb)
+    # NN downsample 2x2 -> 1x1 keeps the top-left pixel
+    assert _nn_resample(2, 2, rgb, 1, 1) == rgb[:3]
+    # NN upsample 1x1 -> 2x2 repeats the pixel
+    assert _nn_resample(1, 1, rgb[:3], 2, 2) == rgb[:3] * 4
+    for bad in (None, b"", b"JFIF....", b"P6\n8 8\n255\nshort"):
+        with pytest.raises(NotImplementedError):
+            _ppm_parse(bad)
 
 
 def test_features_deterministic(spark):
@@ -55,17 +117,27 @@ def test_resize_images(spark):
     from bioie_llm_spark.multimodal.binary_ops import resize_images, synth_assets
 
     assets = synth_assets(spark, 48)
+    orig = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
     out = resize_images(assets, width=32, height=16)
     rows = {r["asset_id"]: r for r in out.collect()}
     assert len(rows) == 48
-    for r in rows.values():
+    for aid, r in rows.items():
         if r["kind"] == "image":
             assert r["width"] == 32 and r["height"] == 16
-            assert len(r["payload"]) == 32 * 16  # byte-per-pixel stand-in
             assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+            if _is_ppm(orig[aid]):
+                # REAL branch: output is a valid P6 at the target size whose
+                # pixels are the NN resample of the source pixels
+                w, h, rgb = _ppm_parse(bytes(r["payload"]))
+                assert (w, h) == (32, 16)
+                sw, sh, srgb = _ppm_parse(orig[aid])
+                assert rgb == _nn_resample(sw, sh, srgb, 32, 16)
+            else:
+                # stub branch: byte-per-pixel hash-derived stand-in
+                assert len(r["payload"]) == 32 * 16
         else:
             # non-images pass through untouched
-            assert len(r["payload"]) == 48  # 3 md5 digests
+            assert len(r["payload"]) == JUNK_LEN
             assert r["meta"]["width"] == r["width"]
     # deterministic at any parallelism
     again = {

@@ -75,3 +75,40 @@ def test_repetition_ratio(spark):
     assert got[1] > 0.3          # the loop n-gram dominates
     assert got[2] == 0.125       # 8 distinct trigrams, each once
     assert got[3] <= 1.0         # no crash on empty text
+
+
+def test_repetition_ratio_grouped_equivalence(spark):
+    """VERDICT r3 #4: the exploded-groupBy book-length form must produce
+    bit-identical ratios to the per-row array form — on real sf0.001 docs
+    AND the degenerate corners (empty, single word, fully looped)."""
+    from bioie_llm_spark.functions.text import (
+        repetition_ratio,
+        repetition_ratio_grouped,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "word"),
+            (100003, "spam ham eggs " * 50),
+            (100004, "a b"),  # fewer tokens than n
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edges)
+    per_row = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", repetition_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    grouped = {
+        r["doc_id"]: r["repetition"]
+        for r in repetition_ratio_grouped(df).select("doc_id", "repetition").collect()
+    }
+    assert per_row.keys() == grouped.keys()
+    mism = {k: (per_row[k], grouped[k]) for k in per_row if per_row[k] != grouped[k]}
+    assert not mism, f"first mismatches: {dict(list(mism.items())[:5])}"
