@@ -268,6 +268,21 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         .first()
     )
 
+    # --- salted vs plain aggregation on the SAME skewed corpus (VERDICT r3
+    # #8 timing digest; equality itself is driver-checked via
+    # kg_hot_predicates.salted_eq_ok). Key = content hash, so the
+    # boilerplate fifth of the corpus funnels one key.
+    from bioie_llm_spark.operators.skew import salted_count
+
+    skew_keyed = skew_docs.select(F.md5("text").alias("k"))
+    salted_count(skew_keyed.limit(500), ["k"]).count()  # warm plan shape
+    t0 = time.time()
+    salted_count(skew_keyed, ["k"]).count()
+    timings["skew_salted_count"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    skew_keyed.groupBy("k").agg(F.count("*")).count()
+    timings["skew_plain_count"] = round(time.time() - t0, 3)
+
     # --- generate_fn plug-point overhead (VERDICT r2 #8): a trivial CPU
     # "model" through the batched-inference operator over the full corpus —
     # measures the Arrow-batch + callable dispatch cost a GPU model rides on.

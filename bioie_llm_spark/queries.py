@@ -261,11 +261,39 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
     )
 
 
-@register("kg_triples", golden_sql("kg_triples"))
+def _kg_triples_oracle() -> str | None:
+    """Hybrid oracle (r4): DuckDB COMPUTES the five cardinality/sum columns
+    from the materialized triples parquet (pred restored from the Hive
+    partition dirs); only the Spark-specific xxhash64 content hash stays
+    pinned (sourced from the same golden file)."""
+    import os
+
+    pinned = golden_sql("kg_triples")
+    if pinned is None:
+        return None
+    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
+    return f"""
+    WITH t AS (SELECT * FROM read_parquet('{glob}', hive_partitioning = 1)),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triples,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+             CAST(count(DISTINCT pred) AS BIGINT) AS n_pred,
+             CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+             CAST(sum(n_sources) AS BIGINT) AS total_sources
+      FROM t
+    )
+    SELECT agg.*, g.content_hash
+    FROM agg, (SELECT content_hash FROM ({pinned}) AS p) AS g
+    """
+
+
+@register("kg_triples", _kg_triples_oracle())
 def kg_triples(spark, sf_dir):
     """Flagship-output digest: cardinalities + order-insensitive xxhash64
-    content hash of the linked, deduped triple table. Pinned golden oracle;
-    the full table is entry()'s return value."""
+    content hash of the linked, deduped triple table. Counts/sums verified
+    by DuckDB against the materialized parquet; the hash is the pinned
+    golden. The full table is entry()'s return value."""
     t = _kg_stages(spark, sf_dir)["triples"]
     return t.agg(
         F.count("*").cast("long").alias("n_triples"),
