@@ -29,11 +29,12 @@ from functools import lru_cache
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0_01.json")
 
 # every registry query whose oracle is a pinned golden result
-# (kg_funnel / kg_lineage left this list in round 4: their oracles are now
-# COMPUTED — DuckDB re-aggregates the lineage parquet the pipeline wrote)
+# (kg_funnel / kg_lineage / kg_triple_pr left this list in round 4: their
+# oracles are now COMPUTED — DuckDB re-aggregates the lineage / triples /
+# facts parquet the pipeline wrote; kg_triples is hybrid — counts computed,
+# xxhash64 content hash pinned)
 GOLDEN_QUERIES = [
     "kg_triples",
-    "kg_triple_pr",
     "kg_entity_task",
     "kg_relation_task",
     "kg_relation_type_task",

@@ -307,10 +307,53 @@ def kg_triples(spark, sf_dir):
     )
 
 
-@register("kg_triple_pr", golden_sql("kg_triple_pr"))
+def _kg_triple_pr_oracle() -> str:
+    """Fully COMPUTED oracle (r4): DuckDB re-derives the BASELINE-graded
+    triple P/R from the materialized triples + facts parquet — distinct
+    (subj, pred, obj) on both sides, inner-join match count, identical
+    round-then-threshold semantics. The flagship quality grade is now
+    cross-engine-verified, not pinned."""
+    import os
+
+    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    t_glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
+    f_glob = os.path.join(root, "facts", "snapshot=snap-000", "*.parquet")
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT subj, pred, obj
+      FROM read_parquet('{t_glob}', hive_partitioning = 1)
+    ),
+    g AS (SELECT DISTINCT subj, pred, obj FROM read_parquet('{f_glob}')),
+    c AS (
+      SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_extracted,
+             CAST((SELECT count(*) FROM g) AS BIGINT) AS n_gold,
+             CAST((SELECT count(*) FROM e JOIN g USING (subj, pred, obj))
+                  AS BIGINT) AS n_matched
+    ),
+    pr AS (
+      SELECT *,
+             coalesce(CAST(n_matched AS DOUBLE) / nullif(n_extracted, 0),
+                      CAST(0.0 AS DOUBLE)) AS p_raw,
+             coalesce(CAST(n_matched AS DOUBLE) / nullif(n_gold, 0),
+                      CAST(0.0 AS DOUBLE)) AS r_raw
+      FROM c
+    )
+    SELECT n_extracted, n_gold, n_matched,
+           round(p_raw, 4) AS "precision",
+           round(r_raw, 4) AS recall,
+           round(coalesce(2 * p_raw * r_raw / nullif(p_raw + r_raw, 0),
+                          CAST(0.0 AS DOUBLE)), 4) AS f1,
+           round(p_raw, 4) >= 0.95 AS pass_precision,
+           round(r_raw, 4) >= 0.95 AS pass_recall
+    FROM pr
+    """
+
+
+@register("kg_triple_pr", _kg_triple_pr_oracle())
 def kg_triple_pr(spark, sf_dir):
     """Triple-set P/R vs gold (the BASELINE.json >=0.95 grade) with the
-    thresholds asserted as booleans in the row itself."""
+    thresholds asserted as booleans in the row itself. Computed DuckDB
+    oracle over the materialized triples + facts parquet (r4)."""
     from .operators.metrics import triple_pr
 
     s = _kg_stages(spark, sf_dir)
