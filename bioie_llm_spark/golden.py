@@ -39,7 +39,6 @@ GOLDEN_QUERIES = [
     "kg_relation_task",
     "kg_relation_type_task",
     "kg_kegg_entity_task",
-    "kg_hot_predicates",
     "kg_canonicalize",
     "dd_minhash_simhash_check",
     "dd_fuzzy_dedup",

@@ -502,7 +502,34 @@ def kg_lineage(spark, sf_dir):
     )
 
 
-@register("kg_hot_predicates", golden_sql("kg_hot_predicates"))
+def _kg_hot_predicates_oracle() -> str:
+    """Fully COMPUTED oracle (r4): DuckDB re-derives the heavy-hitter rows
+    (pred, count, frac at the 5% threshold) from the materialized triples
+    parquet; the salted path must agree with the plain count (n_salted =
+    n_plain) and every engine-computed invariant boolean must hold, so the
+    oracle expects them true."""
+    import os
+
+    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
+    return f"""
+    WITH t AS (
+      SELECT pred FROM read_parquet('{glob}', hive_partitioning = 1)
+    ),
+    tot AS (SELECT count(*) AS n FROM t),
+    hot AS (
+      SELECT pred, CAST(count(*) AS BIGINT) AS n_plain
+      FROM t GROUP BY pred
+      HAVING count(*) >= 0.05 * (SELECT n FROM tot)
+    )
+    SELECT pred, n_plain, n_plain AS n_salted,
+           round(CAST(n_plain AS DOUBLE) / (SELECT n FROM tot), 4) AS frac,
+           true AS salted_agrees, true AS salted_eq_ok, true AS skew_bound_ok
+    FROM hot
+    """
+
+
+@register("kg_hot_predicates", _kg_hot_predicates_oracle())
 def kg_hot_predicates(spark, sf_dir):
     """Skew introspection over the triple table: heavy-hitter predicates
     (drives salting decisions) + salted per-predicate counts.
