@@ -317,7 +317,7 @@ def _kg_triple_pr_oracle() -> str:
 
     root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
     t_glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
-    f_glob = os.path.join(root, "facts", "snapshot=snap-000", "*.parquet")
+    f_glob = os.path.join(root, "gold", "snapshot=snap-000", "*.parquet")
     return f"""
     WITH e AS (
       SELECT DISTINCT subj, pred, obj

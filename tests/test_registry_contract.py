@@ -47,7 +47,10 @@ def test_golden_invariants_hold():
     flags("dd_minhash_simhash_check", "ok")
     flags("sim_ann_recall", "ok")
     flags("sim_near_dup_lsh", "high_recall_ok")
-    flags("kg_triple_pr", "pass_precision", "pass_recall")
+    # kg_triple_pr / kg_hot_predicates left the golden file in round 4:
+    # their oracles are COMPUTED, and the DuckDB side now asserts the
+    # booleans (pass_precision/pass_recall from recomputed P/R;
+    # salted_eq_ok etc. expected true) — test_oracle_parity covers them.
     # computed invariants inside the pinned task metrics (VERDICT r2 #5)
     for task in (
         "kg_entity_task",
