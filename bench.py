@@ -220,21 +220,30 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     warm_sf = _warm_dir(sf_dir)
     w_corpus, w_gaz, _ = materialize_corpus(0.01, root, cpus=min(cpus, 8))
     timed_pipeline(spark, w_corpus, w_gaz, cpus)
-    if warm_sf is not None:
-        w_docs = spark.read.parquet(f"{warm_sf}/documents.parquet").repartition(64)
-    else:
-        # no tiny sibling: warm the doc-shaped plans on a bounded slice of
-        # the target (plan shape identical, cost bounded) rather than the
-        # full target directory
-        w_docs = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .limit(2000)
-            .repartition(64)
-        )
+    if warm_sf is None:
+        # no tiny sibling: build a write-once warm directory of bounded
+        # slices of the target tables (2000 rows each) so EVERY headline
+        # plan still warms — skipping the warm loop would fold the ~8s
+        # JIT/codegen/worker cold-start back into the first timed run, the
+        # exact phantom-regression class round 2 diagnosed.
+        warm_sf = os.path.join(root, f"warm_slice_sf{_sf_of(sf_dir)}")
+        marker = os.path.join(warm_sf, "__done")
+        if not os.path.exists(marker):
+            for t in (
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings",
+            ):
+                spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(
+                    2000
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(warm_sf, f"{t}.parquet")
+                )
+            with open(marker, "w") as f:
+                f.write("ok")
+    w_docs = spark.read.parquet(f"{warm_sf}/documents.parquet").repartition(64)
     minhash_lsh_candidates(w_docs).count()
-    if warm_sf is not None:
-        for name in HEADLINE:
-            REGISTRY[name][0](spark, warm_sf).count()
+    for name in HEADLINE:
+        REGISTRY[name][0](spark, warm_sf).count()
 
     timings: dict[str, float] = {}
     sec, n_triples = timed_pipeline(spark, corpus_dir, gaz_dir, cpus)

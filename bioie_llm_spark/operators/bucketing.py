@@ -50,14 +50,17 @@ def ensure_bucketed_table(
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        # a database-qualified name 'db.tbl' lives at <warehouse>/db.db/tbl,
-        # not <warehouse>/db.tbl — build the managed location accordingly or
-        # the stale-dir clear misses and CREATE fails LOCATION_ALREADY_EXISTS
+        # a database-qualified name 'db.tbl' lives at <warehouse>/db.db/tbl
+        # — EXCEPT the default database, which lives at the warehouse root
+        # (<warehouse>/tbl). Resolve accordingly or the stale-dir clear
+        # misses and CREATE still fails LOCATION_ALREADY_EXISTS. Unqualified
+        # names assume the default DB (this module never switches
+        # currentDatabase; qualify the name if you do).
         parts = table.lower().split(".")
         rel = (
             os.path.join(f"{parts[-2]}.db", parts[-1])
-            if len(parts) >= 2
-            else parts[0]
+            if len(parts) >= 2 and parts[-2] != "default"
+            else parts[-1]
         )
         loc = os.path.join(wh, rel)
         if wh and os.path.isdir(loc):

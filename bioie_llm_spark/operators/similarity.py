@@ -216,7 +216,10 @@ def ivf_centroids(
             .collect()
         )
         refined = {r["__cell"]: [m["__m"] for m in r["__ms"]] for r in rows}
-        cents = [refined.get(i, cents[i]) for i in range(n_centroids)]
+        # range over the SEEDS actually collected — a corpus smaller than
+        # n_centroids yields fewer seeds, and indexing cents[i] for the
+        # missing tail would raise instead of degrading gracefully
+        cents = [refined.get(i, cents[i]) for i in range(len(cents))]
     return cents
 
 

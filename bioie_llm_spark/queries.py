@@ -84,48 +84,60 @@ def _kg_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+def _source_hashed_root(prefix: str, sf_dir: str, mods, extra: str = "") -> str:
+    """Shared keying for the write-once /tmp scratch roots: one dir per
+    (prefix, sf, md5 of the given module sources [+ extra identity bytes]),
+    so a code change can never resume from a stale materialization and
+    repeated runs reuse instead of accumulating."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5()
+    for mod in mods:
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    h.update(extra.encode())
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_sf{_kg_sf(sf_dir)}_{h.hexdigest()[:8]}"
+    )
+
+
 def _kg_root(sf_dir: str) -> str:
     """Per-sf stage-cache root, keyed by a hash of the datagen/extraction/
     pipeline SOURCE so a code change in a later round can never resume from
     a stale materialization. Concurrency-safe: materialize() writes each
     stage atomically (scratch dir + rename), so two processes building the
     same sf concurrently can never read a partially-written stage."""
-    import hashlib
-    import os
-    import tempfile
-
     from . import datagen, extraction, pipeline
     from .sources import checkpoint
 
-    h = hashlib.md5()
-    for mod in (datagen.corpus, extraction, pipeline, checkpoint):
-        with open(mod.__file__, "rb") as f:
-            h.update(f.read())
-    ver = h.hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(), f"bioie_kg_stages_sf{_kg_sf(sf_dir)}_{ver}"
+    return _source_hashed_root(
+        "bioie_kg_stages", sf_dir, (datagen.corpus, extraction, pipeline, checkpoint)
     )
 
 
 def _stream_equiv_root(sf_dir: str) -> str:
     """Deterministic scratch root for st_stream_batch_equiv's drained stream
-    sinks, keyed by sf + a hash of the streaming/dedup module sources (same
-    write-once rationale as _kg_root; bounds /tmp to one dir per code
-    version instead of one per invocation)."""
-    import hashlib
+    sinks, keyed by sf + streaming/dedup module sources + the IDENTITY of
+    the input tables (path, size, mtime of documents/events parquet) — so
+    regenerated or swapped testdata can never be compared against sinks
+    drained from the previous data (the sf number alone wouldn't roll)."""
     import os
-    import tempfile
 
     from .operators import dedup as _dedup_mod
     from .streaming import incremental as _inc_mod
 
-    h = hashlib.md5()
-    for mod in (_inc_mod, _dedup_mod):
-        with open(mod.__file__, "rb") as f:
-            h.update(f.read())
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"bioie_stream_equiv_sf{_kg_sf(sf_dir)}_{h.hexdigest()[:8]}",
+    ident = [sf_dir.rstrip("/")]
+    for t in ("documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            ident.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            ident.append(f"{t}:missing")
+    return _source_hashed_root(
+        "bioie_stream_equiv", sf_dir, (_inc_mod, _dedup_mod), extra="|".join(ident)
     )
 
 
@@ -343,8 +355,13 @@ def _kg_triple_pr_oracle() -> str:
            round(r_raw, 4) AS recall,
            round(coalesce(2 * p_raw * r_raw / nullif(p_raw + r_raw, 0),
                           CAST(0.0 AS DOUBLE)), 4) AS f1,
-           round(p_raw, 4) >= 0.95 AS pass_precision,
-           round(r_raw, 4) >= 0.95 AS pass_recall
+           -- the booleans are EXPECTED true, not re-derived: deriving them
+           -- from the same parquet would let a quality regression go green
+           -- on both sides; this way a drop below the 0.95 floor flips the
+           -- Spark booleans against the oracle's `true` and the driver row
+           -- goes red (the numeric P/R columns above stay recomputed)
+           true AS pass_precision,
+           true AS pass_recall
     FROM pr
     """
 
@@ -569,6 +586,11 @@ def kg_hot_predicates(spark, sf_dir):
                     F.when(
                         F.col("n_ref").isNull()
                         | F.col("n_salted").isNull()
+                        # explicit null terms: (a != b) is NULL when either
+                        # side is NULL, and when(NULL) doesn't fire — a key
+                        # dropped ONLY by salted_collect_set must still flip
+                        | F.col("obj_ref").isNull()
+                        | F.col("obj_set").isNull()
                         | (F.col("n_ref") != F.col("n_salted"))
                         | (F.col("obj_ref") != F.col("obj_set")),
                         1,

@@ -187,3 +187,27 @@ def test_bucketed_results_match_plain(spark, bucketed_tables, tiny_spec):
     )
     plain = facts.join(adj, "node").select("node", "pred", "obj")
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ensure_bucketed_default_db_orphan_cleanup(spark, tiny_spec):
+    """The default database's managed tables live at the WAREHOUSE ROOT
+    (<warehouse>/tbl, not <warehouse>/default.db/tbl) — the orphan clear
+    must resolve that or default-qualified names still fail CREATE."""
+    import os
+    from urllib.parse import urlparse
+
+    from bioie_llm_spark.datagen.corpus import build_facts
+    from bioie_llm_spark.operators.bucketing import ensure_bucketed_table
+
+    facts = build_facts(spark, tiny_spec)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, "t_orphan_default")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "stale.parquet"), "w") as f:
+            f.write("stale")
+        assert not spark.catalog.tableExists("default.t_orphan_default")
+        ensure_bucketed_table(facts, "default.t_orphan_default", ["subj"], 4)
+        assert spark.table("t_orphan_default").count() == facts.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.t_orphan_default")

@@ -180,3 +180,22 @@ def test_ivf_centroids_lloyd_parallelism_invariant(spark):
     # and the refinement actually moved the seeds
     seeds = ivf_centroids(emb, n_centroids=8, lloyd_iters=0)
     assert c2 != seeds
+
+
+def test_ivf_centroids_small_corpus(spark):
+    """Corpus smaller than n_centroids must degrade gracefully (fewer
+    centroids), not crash indexing the missing seed tail during Lloyd."""
+    from bioie_llm_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        .filter(F.col("vec_id") < 10)
+    )
+    cents = ivf_centroids(emb, n_centroids=16, lloyd_iters=2)
+    assert 0 < len(cents) <= 10
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=3, n_centroids=16, n_probe=4)
+    assert out.count() > 0
