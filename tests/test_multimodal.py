@@ -145,3 +145,33 @@ def test_resize_images(spark):
         for r in resize_images(assets.repartition(7), width=32, height=16).collect()
     }
     assert all(again[k] == v["payload"] for k, v in rows.items())
+
+
+def test_ppm_roundtrip_property():
+    """Hypothesis: encode->parse is the identity for any (w, h, rgb), and
+    same-size nearest-neighbor resample is the identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, seed):
+        import hashlib
+
+        buf = bytearray()
+        i = 0
+        while len(buf) < w * h * 3:
+            buf.extend(hashlib.md5(f"{seed}|{i}".encode()).digest())
+            i += 1
+        rgb = bytes(buf[: w * h * 3])
+        assert _ppm_parse(_ppm_encode(w, h, rgb)) == (w, h, rgb)
+        assert _nn_resample(w, h, rgb, w, h) == rgb
+        # any resample output has exactly out_w*out_h*3 bytes drawn from rgb
+        out = _nn_resample(w, h, rgb, 3, 5)
+        assert len(out) == 3 * 5 * 3
+
+    check()
