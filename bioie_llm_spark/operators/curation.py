@@ -487,3 +487,111 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
             4,
         ).alias("mean_utilization"),
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
+    arXiv:1911.00359 — public method): score each document by the
+    perplexity of a BIGRAM language model with stupid backoff (Brants et
+    al. 2007) to unigrams. CCNet trains the LM on a reference corpus
+    (Wikipedia) and keeps low-perplexity web text; here the model is
+    trained on ``lm`` (a reference corpus DataFrame with the same text
+    column) or, by default, on the scored corpus itself — in-distribution
+    documents score low, out-of-distribution gibberish backs off to the
+    unseen floor and scores high.
+
+    Returns (id, n_tokens, avg_nll, perplexity) — perplexity =
+    exp(mean over token transitions of -log P(w_i | w_{i-1})), with
+    P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})          when seen,
+                       alpha * c(w_i) / T                    backoff,
+                       alpha / T                              unseen word.
+    Documents with < 2 tokens carry NULL avg_nll/perplexity (no
+    transition to score).
+
+    Scale shape (100 TB): two count aggregates build the model — a
+    unigram table and a bigram table, both Zipf-keyed hash aggs with
+    map-side combine — then scoring is one explode over the corpus'
+    transitions and two equi-joins against the count tables (vocab-sized,
+    far smaller than the corpus; AQE's skew join handles the Zipf head,
+    and both joins broadcast automatically when the vocab fits). All
+    expression-only — no Python in the model build or the scoring path;
+    the whole thing is SQL-expressible (DuckDB twin in
+    tests/test_curation.py pins engine parity)."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = (lm if lm is not None else docs).select(
+        F.transform(toks, lambda t: F.lower(t)).alias("__t")
+    )
+    # model: unigram counts, bigram counts, total tokens
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_b"))
+    )
+    total = uni.agg(F.sum("c_w").cast("double").alias("T"))
+
+    scored_toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.lower(t)).alias("__t"),
+    )
+    trans = scored_toks.select(
+        "id",
+        F.size("__t").alias("n_tokens"),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("id", "n_tokens", "p.w1", "p.w2")
+    joined = (
+        trans.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_w2"), "w2", "left")
+        .crossJoin(total)
+    )
+    prob = (
+        F.when(
+            F.col("c_b").isNotNull(),
+            F.col("c_b").cast("double") / F.col("c_w1"),
+        )
+        .when(
+            F.col("c_w2").isNotNull(),
+            F.lit(alpha) * F.col("c_w2") / F.col("T"),
+        )
+        .otherwise(F.lit(alpha) / F.col("T"))
+    )
+    per_doc = joined.groupBy("id", "n_tokens").agg(
+        F.avg(-F.log(prob)).alias("avg_nll")
+    )
+    # docs with < 2 tokens have no transitions — restore them with NULLs
+    all_docs = scored_toks.select("id", F.size("__t").alias("n_tokens"))
+    return (
+        all_docs.join(per_doc, ["id", "n_tokens"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round("avg_nll", 4).alias("avg_nll"),
+            F.round(F.exp("avg_nll"), 4).alias("perplexity"),
+        )
+    )

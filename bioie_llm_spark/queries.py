@@ -1813,6 +1813,34 @@ def sim_ann_recall(spark, sf_dir):
         + (length(s) - length(replace(s, '<URL>', ''))) / 5
         + (length(s) - length(replace(s, '<IP>', ''))) / 4 AS INT) AS n_masks
       FROM scrub
+    ),
+    -- CCNet-style self-trained bigram-LM perplexity (stupid backoff,
+    -- alpha 0.4) recomputed from the same lowercased tokens (r4)
+    lmz AS (
+      SELECT doc_id, unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p
+      FROM lt WHERE len(tk) >= 2
+    ),
+    lmuni AS (
+      SELECT w, count(*) AS c_w FROM (SELECT unnest(tk) AS w FROM lt) GROUP BY w
+    ),
+    lmtot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS T FROM lmuni),
+    lmbi AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_b FROM lmz GROUP BY 1, 2),
+    lmscore AS (
+      SELECT z.doc_id,
+             -ln(CASE WHEN b.c_b IS NOT NULL
+                      THEN CAST(b.c_b AS DOUBLE) / u1.c_w
+                      WHEN u2.c_w IS NOT NULL
+                      THEN 0.4 * u2.c_w / (SELECT T FROM lmtot)
+                      ELSE 0.4 / (SELECT T FROM lmtot) END) AS nll
+      FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM lmz) z
+      LEFT JOIN lmbi b ON z.w1 = b.w1 AND z.w2 = b.w2
+      LEFT JOIN lmuni u1 ON z.w1 = u1.w
+      LEFT JOIN lmuni u2 ON z.w2 = u2.w
+    ),
+    lmagg AS (
+      SELECT doc_id, round(avg(nll), 4) AS avg_nll,
+             round(exp(avg(nll)), 4) AS perplexity
+      FROM lmscore GROUP BY doc_id
     )
     SELECT d.doc_id,
            len(toks) AS n_tokens,
@@ -1823,11 +1851,14 @@ def sim_ann_recall(spark, sf_dir):
            l.lang_pred AS lang_pred,
            round({_QUALITY_SQL}, 4) AS quality,
            r.repetition AS repetition,
-           m.n_masks AS n_masks
+           m.n_masks AS n_masks,
+           lm.avg_nll AS avg_nll,
+           lm.perplexity AS perplexity
     FROM docs d
     JOIN lang l ON d.doc_id = l.doc_id
     JOIN rep r ON d.doc_id = r.doc_id
     JOIN masks m ON d.doc_id = m.doc_id
+    LEFT JOIN lmagg lm ON d.doc_id = lm.doc_id
     """,
 )
 def txt_profile(spark, sf_dir):
@@ -1862,7 +1893,7 @@ def txt_profile(spark, sf_dir):
             - F.length(F.replace(scrubbed, F.lit(token), F.lit("")))
         ) / F.lit(len(token))
 
-    return d.select(
+    profile = d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe"),
@@ -1874,6 +1905,13 @@ def txt_profile(spark, sf_dir):
         .cast("int")
         .alias("n_masks"),
     )
+    # CCNet-style LM-perplexity signal (self-trained bigram model, stupid
+    # backoff) under the same driver row — the oracle rebuilds the model
+    # and the scores from the identical tokens (r4)
+    from .operators.curation import ngram_lm_score
+
+    lm = ngram_lm_score(d).select("doc_id", "avg_nll", "perplexity")
+    return profile.join(lm, "doc_id", "left")
 
 
 # J8 — composite span-key lookup join (indra_task_evaluator.py:40-51):

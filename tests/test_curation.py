@@ -390,3 +390,153 @@ def test_review_fix_edge_cases(spark):
     )
     st = pack_stats(pack_sequences(big, max_tokens=10, n_groups=1), 10).collect()[0]
     assert st["n_oversize_bins"] == 2 and st["mean_utilization"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_score (CCNet-style perplexity filter, r4)
+
+
+def _py_lm_score(rows, alpha=0.4):
+    """Exact python twin of ngram_lm_score (self-trained)."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in rows}
+    uni, bi = Counter(), Counter()
+    for t in toks.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    T = sum(uni.values())
+    out = {}
+    for i, t in toks.items():
+        if len(t) < 2:
+            out[i] = (len(t), None, None)
+            continue
+        nll = []
+        for a, b in zip(t, t[1:]):
+            if (a, b) in bi:
+                p = bi[(a, b)] / uni[a]
+            elif b in uni:
+                p = alpha * uni[b] / T
+            else:
+                p = alpha / T
+            nll.append(-math.log(p))
+        m = sum(nll) / len(nll)
+        out[i] = (len(t), round(m, 4), round(math.exp(m), 4))
+    return out
+
+
+def test_ngram_lm_score_matches_python_twin(spark):
+    from bioie_llm_spark.operators.curation import ngram_lm_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(900001, "zzzqx vvkwq pplmr zzzqx"), (900002, "one"), (900003, "")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    expect = _py_lm_score([(r["doc_id"], r["text"]) for r in df.collect()])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"], r["perplexity"])
+        for r in ngram_lm_score(df).collect()
+    }
+    assert got.keys() == expect.keys()
+    mism = {k: (got[k], expect[k]) for k in got if got[k] != expect[k]}
+    assert not mism, dict(list(mism.items())[:3])
+
+
+def test_ngram_lm_score_duckdb_twin(spark):
+    """Engine parity: DuckDB recomputes the self-trained bigram perplexity
+    from the same parquet with the same tokenization and backoff."""
+    import duckdb
+
+    from bioie_llm_spark.operators.curation import ngram_lm_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"], r["perplexity"])
+        for r in ngram_lm_score(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    rows = con.execute("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS t
+          FROM documents
+        ),
+        uni AS (
+          SELECT w, count(*) AS c_w FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS T FROM uni),
+        zipped AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+          FROM tok WHERE len(t) >= 2
+        ),
+        bi AS (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_b
+          FROM zipped GROUP BY 1, 2
+        ),
+        trans AS (
+          SELECT doc_id, n_tokens,
+                 p[1] AS w1, p[2] AS w2
+          FROM zipped
+        ),
+        scored AS (
+          SELECT tr.doc_id, tr.n_tokens,
+                 -ln(CASE WHEN b.c_b IS NOT NULL
+                          THEN CAST(b.c_b AS DOUBLE) / u1.c_w
+                          WHEN u2.c_w IS NOT NULL
+                          THEN 0.4 * u2.c_w / (SELECT T FROM tot)
+                          ELSE 0.4 / (SELECT T FROM tot) END) AS nll
+          FROM trans tr
+          LEFT JOIN bi b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+          LEFT JOIN uni u1 ON tr.w1 = u1.w
+          LEFT JOIN uni u2 ON tr.w2 = u2.w
+        ),
+        agg AS (
+          SELECT doc_id, n_tokens, avg(nll) AS m FROM scored GROUP BY doc_id, n_tokens
+        )
+        SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+               round(a.m, 4) AS avg_nll, round(exp(a.m), 4) AS perplexity
+        FROM tok k LEFT JOIN agg a ON k.doc_id = a.doc_id
+    """).fetchall()
+    oracle = {r[0]: (r[1], r[2], r[3]) for r in rows}
+    assert got.keys() == oracle.keys()
+    mism = {k: (got[k], oracle[k]) for k in got if got[k] != oracle[k]}
+    assert not mism, dict(list(mism.items())[:3])
+
+
+def test_ngram_lm_score_gibberish_scores_high(spark):
+    from bioie_llm_spark.operators.curation import ngram_lm_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    gib = spark.createDataFrame(
+        [(900010, "qqjx zzvw pplk mmnb rrty uuio ppas ddfg hhjk llzx")],
+        "doc_id long, text string",
+    )
+    out = ngram_lm_score(docs.unionByName(gib), lm=docs)
+    med = out.filter(F.col("doc_id") < 900000).agg(
+        F.expr("percentile_approx(perplexity, 0.5)")
+    ).first()[0]
+    g = out.filter(F.col("doc_id") == 900010).first()["perplexity"]
+    assert g > med * 10, (g, med)
+    # deterministic under repartition
+    again = {
+        r["doc_id"]: r["perplexity"]
+        for r in ngram_lm_score(
+            docs.unionByName(gib).repartition(13), lm=docs.repartition(7)
+        ).collect()
+    }
+    first = {r["doc_id"]: r["perplexity"] for r in out.collect()}
+    assert again == first
