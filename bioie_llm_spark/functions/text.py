@@ -186,3 +186,50 @@ def repetition_ratio_grouped(
     return df.join(per, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0.0))
     )
+
+
+def duplicate_line_stats(col: Column, sep: str = "\n") -> Column:
+    """Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    public method): returns a struct
+    (n_lines, dup_line_frac, dup_char_frac) where dup_line_frac is the
+    fraction of non-empty lines that are repeats of an earlier line and
+    dup_char_frac the fraction of line characters living in duplicated
+    lines (all occurrences of any line that appears more than once).
+    Pure Catalyst; per-row O(distinct x total) over LINES — documents
+    have at most a few thousand lines, so unlike word n-grams this needs
+    no grouped twin."""
+    lines = F.filter(
+        F.transform(F.split(col, sep), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    occurrences = F.transform(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l))
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(
+            lines,
+            occurrences,
+            lambda l, c: F.when(c > 1, F.length(l)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    total_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.struct(
+        n.alias("n_lines"),
+        F.coalesce(
+            F.round(F.try_divide((n - n_dist).cast("double"), n.cast("double")), 4),
+            F.lit(0.0),
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.round(
+                F.try_divide(dup_chars.cast("double"), total_chars.cast("double")), 4
+            ),
+            F.lit(0.0),
+        ).alias("dup_char_frac"),
+    )

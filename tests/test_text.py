@@ -112,3 +112,29 @@ def test_repetition_ratio_grouped_equivalence(spark):
     assert per_row.keys() == grouped.keys()
     mism = {k: (per_row[k], grouped[k]) for k in per_row if per_row[k] != grouped[k]}
     assert not mism, f"first mismatches: {dict(list(mism.items())[:5])}"
+
+
+def test_duplicate_line_stats(spark):
+    from bioie_llm_spark.functions.text import duplicate_line_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\nccc"),          # 'aaa' x2 of 4 lines
+            (2, "one\ntwo\nthree"),               # no dups
+            (3, "x\nx\nx"),                       # fully duplicated
+            (4, ""),                               # degenerate
+            (5, "long line here\nshort\nlong line here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"].asDict()
+        for r in df.select("doc_id", duplicate_line_stats(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == {"n_lines": 4, "dup_line_frac": 0.25, "dup_char_frac": 0.5}
+    assert got[2] == {"n_lines": 3, "dup_line_frac": 0.0, "dup_char_frac": 0.0}
+    assert got[3] == {"n_lines": 3, "dup_line_frac": round(2 / 3, 4), "dup_char_frac": 1.0}
+    assert got[4] == {"n_lines": 0, "dup_line_frac": 0.0, "dup_char_frac": 0.0}
+    # doc 5: 2 of 3 lines dup ('long line here' x2), chars 28/(28+5)
+    assert got[5]["dup_line_frac"] == round(1 / 3, 4)
+    assert got[5]["dup_char_frac"] == round(28 / 33, 4)
