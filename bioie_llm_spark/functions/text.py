@@ -197,9 +197,19 @@ def duplicate_line_stats(col: Column, sep: str = "\n") -> Column:
     lines (all occurrences of any line that appears more than once).
     Pure Catalyst; per-row O(distinct x total) over LINES — documents
     have at most a few thousand lines, so unlike word n-grams this needs
-    no grouped twin."""
+    no grouped twin. NULL text behaves like empty text (0 lines, 0.0
+    fractions)."""
+    import re as _re
+
+    # F.split takes a Java regex; escape so `sep` is always literal (same
+    # fix class as paragraph_dedup — an unescaped "|" separator would
+    # split between every character)
     lines = F.filter(
-        F.transform(F.split(col, sep), lambda l: F.trim(l)), lambda l: l != ""
+        F.transform(
+            F.split(F.coalesce(col, F.lit("")), _re.escape(sep)),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l != "",
     )
     n = F.size(lines)
     n_dist = F.size(F.array_distinct(lines))

@@ -489,6 +489,17 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     )
 
 
+def _bigram_pairs(tok_col):
+    """(w1, w2) structs for each adjacent token pair of an array column —
+    shared by the LM's training and scoring paths so their windowing can
+    never diverge."""
+    return F.zip_with(
+        F.slice(tok_col, 1, F.greatest(F.size(tok_col) - 1, F.lit(0))),
+        F.slice(tok_col, 2, F.greatest(F.size(tok_col) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def ngram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -534,15 +545,7 @@ def ngram_lm_score(
         .agg(F.count("*").alias("c_w"))
     )
     bi = (
-        base.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
-                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("p")
-        )
+        base.select(F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_b"))
@@ -556,13 +559,7 @@ def ngram_lm_score(
     trans = scored_toks.select(
         "id",
         F.size("__t").alias("n_tokens"),
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
-                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
+        F.explode(_bigram_pairs(F.col("__t"))).alias("p"),
     ).select("id", "n_tokens", "p.w1", "p.w2")
     joined = (
         trans.join(bi, ["w1", "w2"], "left")
@@ -581,8 +578,17 @@ def ngram_lm_score(
         )
         .otherwise(F.lit(alpha) / F.col("T"))
     )
+    # FIXED-POINT mean (same rationale as ivf_centroids' Lloyd means): a
+    # float F.avg sums in partition order, and a mean landing within a few
+    # ulps of a 0.00005 rounding boundary could flip the 4th decimal
+    # between runs/parallelism. floor(nll * 1e9) summed as longs commutes;
+    # the <= 1e-9 per-term quantization is invisible at round-4. The
+    # DuckDB oracle and the python twin mirror the identical fixed-point.
     per_doc = joined.groupBy("id", "n_tokens").agg(
-        F.avg(-F.log(prob)).alias("avg_nll")
+        (
+            F.sum(F.floor(-F.log(prob) * F.lit(1e9)).cast("long"))
+            / (F.count("*") * F.lit(1e9))
+        ).alias("avg_nll")
     )
     # docs with < 2 tokens have no transitions — restore them with NULLs
     all_docs = scored_toks.select("id", F.size("__t").alias("n_tokens"))

@@ -1838,8 +1838,13 @@ def sim_ann_recall(spark, sf_dir):
       LEFT JOIN lmuni u2 ON z.w2 = u2.w
     ),
     lmagg AS (
-      SELECT doc_id, round(avg(nll), 4) AS avg_nll,
-             round(exp(avg(nll)), 4) AS perplexity
+      -- fixed-point mean mirroring the engine (floor(nll*1e9) summed as
+      -- integers — summation-order-proof on both sides)
+      SELECT doc_id,
+             round(CAST(sum(CAST(floor(nll * 1e9) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1e9), 4) AS avg_nll,
+             round(exp(CAST(sum(CAST(floor(nll * 1e9) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1e9)), 4) AS perplexity
       FROM lmscore GROUP BY doc_id
     )
     SELECT d.doc_id,

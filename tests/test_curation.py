@@ -421,7 +421,8 @@ def _py_lm_score(rows, alpha=0.4):
             else:
                 p = alpha / T
             nll.append(-math.log(p))
-        m = sum(nll) / len(nll)
+        # fixed-point mean, mirroring the engine's order-proof aggregation
+        m = sum(math.floor(v * 1e9) for v in nll) / (len(nll) * 1e9)
         out[i] = (len(t), round(m, 4), round(math.exp(m), 4))
     return out
 
@@ -503,7 +504,10 @@ def test_ngram_lm_score_duckdb_twin(spark):
           LEFT JOIN uni u2 ON tr.w2 = u2.w
         ),
         agg AS (
-          SELECT doc_id, n_tokens, avg(nll) AS m FROM scored GROUP BY doc_id, n_tokens
+          SELECT doc_id, n_tokens,
+                 CAST(sum(CAST(floor(nll * 1e9) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1e9) AS m
+          FROM scored GROUP BY doc_id, n_tokens
         )
         SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
                round(a.m, 4) AS avg_nll, round(exp(a.m), 4) AS perplexity

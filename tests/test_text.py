@@ -138,3 +138,24 @@ def test_duplicate_line_stats(spark):
     # doc 5: 2 of 3 lines dup ('long line here' x2), chars 28/(28+5)
     assert got[5]["dup_line_frac"] == round(1 / 3, 4)
     assert got[5]["dup_char_frac"] == round(28 / 33, 4)
+
+
+def test_duplicate_line_stats_null_and_regex_sep(spark):
+    """Code-review regressions: NULL text behaves like empty (consistent
+    struct, no NULL n_lines), and a metacharacter separator is literal."""
+    from bioie_llm_spark.functions.text import duplicate_line_stats
+
+    df = spark.createDataFrame([(1, None), (2, "a|b|a")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"].asDict()
+        for r in df.select(
+            "doc_id", duplicate_line_stats(F.col("text"), sep="|").alias("s")
+        ).collect()
+    }
+    assert got[1] == {"n_lines": 0, "dup_line_frac": 0.0, "dup_char_frac": 0.0}
+    # '|' split literally: lines a, b, a -> one dup line, 2/3 of chars
+    assert got[2] == {
+        "n_lines": 3,
+        "dup_line_frac": round(1 / 3, 4),
+        "dup_char_frac": round(2 / 3, 4),
+    }
