@@ -23,12 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full triple-extraction pipeline at smoke scale; returns the
     linked, deduped (subj, pred, obj) triple table.
 
-    Also pre-materializes the sf0.01 stage root (write-once, a few seconds
-    warm): the computed kg_* oracles read the lineage/triples/gold parquet
-    from it, and the driver smoke-runs entry() before the correctness
-    loop — so those files exist no matter in which order the harness
-    evaluates a query's Spark and oracle sides."""
-    Q._kg_stages(spark, "/root/testdata/sf0.01")
+    Also pre-materializes the oracle-sf stage root (write-once, a few
+    seconds warm): the computed kg_* oracles read the lineage/triples/gold
+    parquet from it, and the driver smoke-runs entry() before the
+    correctness loop — so those files exist no matter in which order the
+    harness evaluates a query's Spark and oracle sides. The root comes from
+    the same SPARK_GRAFT_ORACLE_SF resolution the oracles use (ADVICE r4:
+    a hardcoded sf0.01 here warmed the wrong root under the override)."""
+    Q._kg_stages(spark, Q._oracle_sf_dir())
     stages = build_triples(spark, CorpusSpec.for_scale(0.001))
     return stages["triples"].select(
         "subj", "pred", "obj", "n_sources", "source_sha256"

@@ -226,17 +226,25 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         # plan still warms — skipping the warm loop would fold the ~8s
         # JIT/codegen/worker cold-start back into the first timed run, the
         # exact phantom-regression class round 2 diagnosed.
-        warm_sf = os.path.join(root, f"warm_slice_sf{_sf_of(sf_dir)}")
+        # slice the tables ACTUALLY PRESENT in sf_dir (a future target dir
+        # may lack some of the 10 standard tables), and key the slice cache
+        # on a hash of the resolved source path — the sf-number alone would
+        # collide two different sf-less dirs on one cache (ADVICE r4)
+        import hashlib
+
+        dir_key = hashlib.md5(
+            os.path.realpath(sf_dir).encode()
+        ).hexdigest()[:10]
+        warm_sf = os.path.join(root, f"warm_slice_{dir_key}")
         marker = os.path.join(warm_sf, "__done")
         if not os.path.exists(marker):
-            for t in (
-                "region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem", "events", "documents", "embeddings",
-            ):
-                spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(
+            for entry_name in sorted(os.listdir(sf_dir)):
+                if not entry_name.endswith(".parquet"):
+                    continue
+                spark.read.parquet(os.path.join(sf_dir, entry_name)).limit(
                     2000
                 ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(warm_sf, f"{t}.parquet")
+                    os.path.join(warm_sf, entry_name)
                 )
             with open(marker, "w") as f:
                 f.write("ok")

@@ -172,7 +172,12 @@ def repetition_ratio_grouped(
     product, which for a 500-page document makes the per-row form
     quadratic-ish in the row. Shuffle key (id, gram) also spreads a single
     huge document across reducers. Returns df + out_col (0.0 when the
-    document yields no grams, matching the per-row coalesce)."""
+    document yields no grams, matching the per-row coalesce).
+
+    REQUIRES ``id_col`` to be unique per row: the per-doc ratio is joined
+    back on it, so duplicate ids would fan out rows (ADVICE r4). Callers
+    with non-unique ids should pre-assign one, e.g.
+    ``df.withColumn("rid", F.monotonically_increasing_id())``."""
     g = df.select(id_col, F.explode(ngram_array(F.col(text_col), n)).alias("__gram"))
     counts = g.groupBy(id_col, "__gram").agg(F.count("*").alias("__c"))
     per = counts.groupBy(id_col).agg(

@@ -24,11 +24,19 @@ from .golden import golden_sql
 from .operators.sampling import hash_order_key, seeded_sample, stratified_sample, top_k
 from .operators.setops import sort_and_pad
 
-Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+OracleSql = "str | Callable[[], str | None] | None"
+Entry = tuple[Callable[[SparkSession, str], DataFrame], OracleSql]
 REGISTRY: dict[str, Entry] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql):
+    """Register a (spark_fn, oracle) pair. ``sql`` may be a literal SQL
+    string or a ZERO-ARG CALLABLE returning one: callables are resolved at
+    ``all_oracles()`` time, not import time, so oracles that embed the
+    materialized-stage root pick up SPARK_GRAFT_ORACLE_SF as set when the
+    driver asks for the oracle map (ADVICE r4: an env change after import
+    used to be silently ignored)."""
+
     def deco(fn):
         REGISTRY[name] = (fn, sql)
         return fn
@@ -283,7 +291,7 @@ def _kg_triples_oracle() -> str | None:
     pinned = golden_sql("kg_triples")
     if pinned is None:
         return None
-    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    root = _kg_root(_oracle_sf_dir())
     glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
     return f"""
     WITH t AS (SELECT * FROM read_parquet('{glob}', hive_partitioning = 1)),
@@ -300,7 +308,7 @@ def _kg_triples_oracle() -> str | None:
     """
 
 
-@register("kg_triples", _kg_triples_oracle())
+@register("kg_triples", _kg_triples_oracle)
 def kg_triples(spark, sf_dir):
     """Flagship-output digest: cardinalities + order-insensitive xxhash64
     content hash of the linked, deduped triple table. Counts/sums verified
@@ -327,7 +335,7 @@ def _kg_triple_pr_oracle() -> str:
     cross-engine-verified, not pinned."""
     import os
 
-    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    root = _kg_root(_oracle_sf_dir())
     t_glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
     f_glob = os.path.join(root, "gold", "snapshot=snap-000", "*.parquet")
     return f"""
@@ -366,7 +374,7 @@ def _kg_triple_pr_oracle() -> str:
     """
 
 
-@register("kg_triple_pr", _kg_triple_pr_oracle())
+@register("kg_triple_pr", _kg_triple_pr_oracle)
 def kg_triple_pr(spark, sf_dir):
     """Triple-set P/R vs gold (the BASELINE.json >=0.95 grade) with the
     thresholds asserted as booleans in the row itself. Computed DuckDB
@@ -424,17 +432,24 @@ def kg_kegg_entity_task(spark, sf_dir):
     return _metrics_with_recompute(spark, out, "kg_kegg_pairs")
 
 
-def _lineage_glob() -> str:
-    """DuckDB-readable glob over the materialized lineage parquet for the
-    oracle sf (the driver's correctness gate runs at sf0.01). Computable at
-    import time because _kg_root depends only on module source hashes; the
-    files exist by oracle time because the registry's leading kg_* Spark
-    queries materialize the stages first (driver runs Spark-side then
-    oracle, in registry order)."""
+def _oracle_sf_dir() -> str:
+    """The sf dir the DuckDB oracles read materialized stages from. The
+    driver's correctness gate runs at sf0.01; SPARK_GRAFT_ORACLE_SF
+    overrides for local runs at other scales. Read at oracle-BUILD time
+    (all_oracles resolves lazy callables), never baked at import — and
+    entry() pre-materializes the same root (ADVICE r4 lockstep fix)."""
     import os
 
-    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
-    return os.path.join(root, "_lineage", "*", "*", "*.parquet")
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _lineage_glob() -> str:
+    """DuckDB-readable glob over the materialized lineage parquet for the
+    oracle sf. The files exist by oracle time because entry() and the
+    registry's leading kg_* Spark queries materialize the stages first."""
+    import os
+
+    return os.path.join(_kg_root(_oracle_sf_dir()), "_lineage", "*", "*", "*.parquet")
 
 
 # kg_funnel / kg_lineage oracles are COMPUTED (VERDICT r3 #3), not pinned:
@@ -442,9 +457,11 @@ def _lineage_glob() -> str:
 # — an independent engine recomputing the funnel counts, stage totals, and
 # xor-combined content hashes from the same audit trail. CAST sums to
 # BIGINT (DuckDB types sum() as HUGEINT; repo convention).
-@register(
-    "kg_funnel",
-    f"""
+def _kg_funnel_oracle() -> str:
+    # nullif guards the zero-mention case: DuckDB's x/0 is inf, not NULL,
+    # which coalesce would pass through — Spark's try_divide yields NULL
+    # (ADVICE r4); nullif restores the NULL -> coalesce -> 0.0 path.
+    return f"""
     WITH lin AS (
       SELECT stage, n_rows
       FROM read_parquet('{_lineage_glob()}', hive_partitioning = 1)
@@ -458,11 +475,13 @@ def _lineage_glob() -> str:
       FROM lin
     )
     SELECT n_files, n_raw_mentions, n_linked, n_triples,
-           round(coalesce(CAST(n_linked AS DOUBLE) / n_raw_mentions,
+           round(coalesce(CAST(n_linked AS DOUBLE) / nullif(n_raw_mentions, 0),
                           CAST(0.0 AS DOUBLE)), 4) AS link_rate
     FROM agg
-    """,
-)
+    """
+
+
+@register("kg_funnel", _kg_funnel_oracle)
 def kg_funnel(spark, sf_dir):
     """Extraction funnel: corpus files -> raw mentions -> linked -> distinct
     triples, derived from the LINEAGE of the materialized stages — the
@@ -489,17 +508,18 @@ def kg_funnel(spark, sf_dir):
     )
 
 
-@register(
-    "kg_lineage",
-    f"""
+def _kg_lineage_oracle() -> str:
+    return f"""
     SELECT stage,
            CAST(sum(n_rows) AS BIGINT) AS n_rows,
            bit_xor(content_hash) AS content_hash
     FROM read_parquet('{_lineage_glob()}', hive_partitioning = 1)
     GROUP BY stage
     ORDER BY stage
-    """,
-)
+    """
+
+
+@register("kg_lineage", _kg_lineage_oracle)
 def kg_lineage(spark, sf_dir):
     """Per-stage lineage digest of the materialized pipeline. Aggregated to
     stage granularity because per-partition rows depend on write-time
@@ -527,7 +547,7 @@ def _kg_hot_predicates_oracle() -> str:
     oracle expects them true."""
     import os
 
-    root = _kg_root(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+    root = _kg_root(_oracle_sf_dir())
     glob = os.path.join(root, "triples", "snapshot=snap-000", "*", "*.parquet")
     return f"""
     WITH t AS (
@@ -546,7 +566,7 @@ def _kg_hot_predicates_oracle() -> str:
     """
 
 
-@register("kg_hot_predicates", _kg_hot_predicates_oracle())
+@register("kg_hot_predicates", _kg_hot_predicates_oracle)
 def kg_hot_predicates(spark, sf_dir):
     """Skew introspection over the triple table: heavy-hitter predicates
     (drives salting decisions) + salted per-predicate counts.
@@ -2650,4 +2670,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    """Resolve the oracle map. Callable entries (lazy oracles embedding the
+    stage root) are invoked here so the root reflects the CURRENT
+    SPARK_GRAFT_ORACLE_SF, in lockstep with entry()'s pre-materialization."""
+    out: dict[str, str] = {}
+    for name, (_, sql) in REGISTRY.items():
+        resolved = sql() if callable(sql) else sql
+        if resolved is not None:
+            out[name] = resolved
+    return out

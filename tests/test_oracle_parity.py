@@ -85,8 +85,11 @@ def test_duck_fetch_rejects_hugeint():
 
 
 ORACLE_CASES = sorted(
-    (name, fn, sql) for name, (fn, sql) in REGISTRY.items() if sql is not None
+    (name, fn, sql() if callable(sql) else sql)
+    for name, (fn, sql) in REGISTRY.items()
+    if sql is not None
 )
+ORACLE_CASES = [c for c in ORACLE_CASES if c[2] is not None]
 
 
 @pytest.mark.parametrize("name,fn,sql", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])

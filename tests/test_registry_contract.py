@@ -14,7 +14,11 @@ def test_registry_within_driver_coverage_cap():
 
 
 def test_every_query_has_an_oracle():
-    missing = [name for name, (_, sql) in REGISTRY.items() if sql is None]
+    missing = [
+        name
+        for name, (_, sql) in REGISTRY.items()
+        if (sql() if callable(sql) else sql) is None
+    ]
     assert not missing, f"queries without oracle: {missing}"
 
 
