@@ -500,12 +500,63 @@ def _bigram_pairs(tok_col):
     )
 
 
+def _lm_tokens(text_col: str):
+    """Lowercased whitespace tokens — ONE tokenization shared by training
+    and scoring so the two paths can never diverge."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.lower(t))
+
+
+def train_ngram_lm(corpus: DataFrame, text_col: str = "text"):
+    """Build the bigram LM's count tables from a reference corpus: returns
+    (uni, bi) — ``uni(w, c_w)`` and ``bi(w1, w2, c_b)``. Two Zipf-keyed
+    hash aggregates with map-side combine; at 100 TB this runs ONCE over
+    the reference data (CCNet trains on Wikipedia) and the tables persist
+    as a stage, instead of re-aggregating the corpus per scoring query."""
+    base = corpus.select(_lm_tokens(text_col).alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bi = (
+        base.select(F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_b"))
+    )
+    return uni, bi
+
+
+def save_ngram_lm(corpus: DataFrame, out_dir: str, text_col: str = "text") -> None:
+    """Train and persist the LM count tables (``uni``/``bi`` parquet under
+    ``out_dir``) — the train-once artifact a 100 TB deployment scores
+    everything against."""
+    import os
+
+    uni, bi = train_ngram_lm(corpus, text_col)
+    uni.write.mode("overwrite").parquet(os.path.join(out_dir, "uni"))
+    bi.write.mode("overwrite").parquet(os.path.join(out_dir, "bi"))
+
+
+def load_ngram_lm(spark, out_dir: str):
+    """Load persisted LM count tables; pass the result as ``model=`` to
+    ``ngram_lm_score`` to skip the per-query training aggregates."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(out_dir, "uni")),
+        spark.read.parquet(os.path.join(out_dir, "bi")),
+    )
+
+
 def ngram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.4,
     lm: DataFrame | None = None,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
     arXiv:1911.00359 — public method): score each document by the
@@ -533,28 +584,20 @@ def ngram_lm_score(
     and both joins broadcast automatically when the vocab fits). All
     expression-only — no Python in the model build or the scoring path;
     the whole thing is SQL-expressible (DuckDB twin in
-    tests/test_curation.py pins engine parity)."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = (lm if lm is not None else docs).select(
-        F.transform(toks, lambda t: F.lower(t)).alias("__t")
-    )
-    # model: unigram counts, bigram counts, total tokens
-    uni = (
-        base.select(F.explode("__t").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c_w"))
-    )
-    bi = (
-        base.select(F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
-        .select("p.w1", "p.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c_b"))
-    )
+    tests/test_curation.py pins engine parity).
+
+    The model comes from, in precedence order: ``model`` (pre-trained
+    (uni, bi) count tables — see train/save/load_ngram_lm; the persisted
+    100 TB shape), else ``lm`` (a reference corpus trained inline), else
+    the scored corpus itself (self-train)."""
+    if model is None:
+        model = train_ngram_lm(lm if lm is not None else docs, text_col)
+    uni, bi = model
     total = uni.agg(F.sum("c_w").cast("double").alias("T"))
 
     scored_toks = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.lower(t)).alias("__t"),
+        _lm_tokens(text_col).alias("__t"),
     )
     trans = scored_toks.select(
         "id",

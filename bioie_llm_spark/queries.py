@@ -1674,7 +1674,16 @@ def sim_near_dup_pairs(spark, sf_dir):
 # not a hoped-for 0.99-dup regime (where sign agreement makes recall ~1).
 @register("sim_near_dup_lsh", golden_sql("sim_near_dup_lsh"))
 def sim_near_dup_lsh(spark, sf_dir):
-    from .operators.similarity import cosine_near_dup_pairs
+    """LSH near-dup digest + SemDeDup digest in one row (merged, VERDICT r4
+    #2 — registry capped at 50). The sd_* columns grade semantic_dedup
+    (operators/similarity.py) on a PLANTED corpus: every 25th vector gets a
+    near-identical copy (deterministic 1e-4 perturbation, id + 100000);
+    the exact twin must merge exactly the planted copies, the cell-blocked
+    SemDeDup's recall over them feeds sd_recall with a 1.0 floor (planted
+    dups are near-identical, so cell assignment cannot split them), and
+    keeper-min / planted-pair-closure / blocked-subset-of-exact booleans
+    flip the pinned row red on any quality drop."""
+    from .operators.similarity import cosine_near_dup_pairs, semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -1689,7 +1698,7 @@ def sim_near_dup_lsh(spark, sf_dir):
     high = exact.filter(F.col("cosine_sim") >= 0.45)
     high_found = high.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     high_recall = F.coalesce(F.try_divide("n_found_high", "n_exact_high"), F.lit(1.0))
-    return (
+    lsh_digest = (
         lsh.agg(F.count("*").alias("n_candidates"))
         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
         .crossJoin(found.agg(F.count("*").alias("n_found")))
@@ -1705,6 +1714,63 @@ def sim_near_dup_lsh(spark, sf_dir):
             (high_recall >= 0.7).alias("high_recall_ok"),
         )
     )
+
+    # --- SemDeDup digest over the planted corpus ---
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + ((i % 7) - 3) * 1e-4)
+        ).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(dups)
+    sd_blocked = semantic_dedup(planted, threshold=0.95, n_centroids=8).select(
+        "id", "keeper_id"
+    )
+    sd_exact = semantic_dedup(planted, threshold=0.95, exact=True).select(
+        F.col("id").alias("id"), F.col("keeper_id").alias("keeper_exact")
+    )
+    both = sd_blocked.join(sd_exact, "id")
+    merged_b = F.col("keeper_id") != F.col("id")
+    merged_e = F.col("keeper_exact") != F.col("id")
+    base = both.agg(
+        F.count("*").cast("long").alias("sd_n"),
+        F.sum(merged_e.cast("int")).cast("long").alias("sd_n_merged_exact"),
+        F.sum(merged_b.cast("int")).cast("long").alias("sd_n_merged"),
+        # blocking may only LOSE merges vs the exact twin, never invent them
+        (F.sum((merged_b & ~merged_e).cast("int")) == 0).alias("sd_subset_ok"),
+        (F.min((F.col("keeper_id") <= F.col("id")).cast("int")) == 1).alias(
+            "sd_keeper_min_ok"
+        ),
+        # the exact twin merges exactly the planted copies (ids >= 100000)
+        (
+            F.sum((merged_e != (F.col("id") >= 100000)).cast("int")) == 0
+        ).alias("sd_planted_ok"),
+    )
+    # planted-pair closure: original and its copy share a keeper (blocked)
+    pair_closure = (
+        sd_blocked.filter(F.col("id") >= 100000)
+        .select((F.col("id") - 100000).alias("src"), F.col("keeper_id").alias("k_dup"))
+        .join(
+            sd_blocked.select(F.col("id").alias("src"), F.col("keeper_id").alias("k_src")),
+            "src",
+        )
+        .agg(
+            (F.min((F.col("k_dup") == F.col("k_src")).cast("int")) == 1).alias(
+                "sd_closure_ok"
+            )
+        )
+    )
+    sd_recall = F.coalesce(
+        F.try_divide("sd_n_merged", "sd_n_merged_exact"), F.lit(1.0)
+    )
+    sd_digest = base.crossJoin(pair_closure).select(
+        "sd_n", "sd_n_merged_exact", "sd_n_merged",
+        F.round(sd_recall, 4).alias("sd_recall"),
+        # near-identical planted dups cannot cross cells: floor is 1.0
+        (sd_recall >= 1.0).alias("sd_recall_ok"),
+        "sd_subset_ok", "sd_keeper_min_ok", "sd_planted_ok", "sd_closure_ok",
+    )
+    return lsh_digest.crossJoin(sd_digest)
 
 
 # IVF + hyperplane-LSH ANN graded against the brute-force exact top-k
@@ -1866,6 +1932,37 @@ def sim_ann_recall(spark, sf_dir):
              round(exp(CAST(sum(CAST(floor(nll * 1e9) AS BIGINT)) AS DOUBLE)
                    / (count(*) * 1e9)), 4) AS perplexity
       FROM lmscore GROUP BY doc_id
+    ),
+    -- Gopher duplicate-line stats recomputed over the same synthesized
+    -- 2-token-line view the Spark side builds (trim + drop-empty mirror
+    -- duplicate_line_stats exactly; the corpus itself is single-line)
+    dlines AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 list_transform(
+                   range(CAST(ceil(len(toks2) / 2.0) AS INT)),
+                   i -> array_to_string(list_slice(toks2, i * 2 + 1, i * 2 + 2), ' ')
+                 ),
+                 l -> trim(l)
+               ),
+               l -> l <> ''
+             ) AS lines
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks2 FROM documents)
+    ),
+    dlagg AS (
+      SELECT doc_id,
+             CAST(len(lines) AS INT) AS n_lines,
+             coalesce(round(
+               CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / nullif(len(lines), 0), 4), CAST(0.0 AS DOUBLE)) AS dup_line_frac,
+             coalesce(round(
+               CAST(list_aggregate(list_transform(lines,
+                      l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                                THEN length(l) ELSE 0 END), 'sum') AS DOUBLE)
+               / nullif(list_aggregate(list_transform(lines, l -> length(l)),
+                        'sum'), 0), 4), CAST(0.0 AS DOUBLE)) AS dup_char_frac
+      FROM dlines
     )
     SELECT d.doc_id,
            len(toks) AS n_tokens,
@@ -1878,17 +1975,22 @@ def sim_ann_recall(spark, sf_dir):
            r.repetition AS repetition,
            m.n_masks AS n_masks,
            lm.avg_nll AS avg_nll,
-           lm.perplexity AS perplexity
+           lm.perplexity AS perplexity,
+           dl.n_lines AS n_lines,
+           dl.dup_line_frac AS dup_line_frac,
+           dl.dup_char_frac AS dup_char_frac
     FROM docs d
     JOIN lang l ON d.doc_id = l.doc_id
     JOIN rep r ON d.doc_id = r.doc_id
     JOIN masks m ON d.doc_id = m.doc_id
     LEFT JOIN lmagg lm ON d.doc_id = lm.doc_id
+    JOIN dlagg dl ON d.doc_id = dl.doc_id
     """,
 )
 def txt_profile(spark, sf_dir):
     from .functions.text import (
         bpe_ish_token_count,
+        duplicate_line_stats,
         fingerprint,
         language_id,
         quality_score,
@@ -1898,6 +2000,21 @@ def txt_profile(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")
+    # Gopher duplicate-line rules (r4, pytest-only until now — VERDICT r4
+    # #1): the corpus is single-line, so a deterministic multi-line view is
+    # synthesized in-query (2-token lines; 181/500 sf0.01 docs then carry
+    # real duplicate lines) and the oracle recomputes both fractions from
+    # the same construction — same pattern as cur_paragraph_dedup's corpus.
+    toks = F.split(F.col("text"), " ")
+    n_lines_raw = F.ceil(F.size(toks) / F.lit(2.0)).cast("int")
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines_raw - 1),
+            lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+        ),
+        "\n",
+    )
+    dls = duplicate_line_stats(lined)
     # PII is injected deterministically into every 11th doc so the scrub
     # pass has real work whose mask count the oracle recomputes (the
     # synthetic corpus itself contains no emails/URLs/IPs)
@@ -1929,6 +2046,9 @@ def txt_profile(spark, sf_dir):
         (mask_count("<EMAIL>") + mask_count("<URL>") + mask_count("<IP>"))
         .cast("int")
         .alias("n_masks"),
+        dls.getField("n_lines").alias("n_lines"),
+        dls.getField("dup_line_frac").alias("dup_line_frac"),
+        dls.getField("dup_char_frac").alias("dup_char_frac"),
     )
     # CCNet-style LM-perplexity signal (self-trained bigram model, stupid
     # backoff) under the same driver row — the oracle rebuilds the model
@@ -2375,13 +2495,58 @@ def cur_contamination(spark, sf_dir):
     return contamination_check(docs, bench, n=3, threshold=0.5)
 
 
-# Temperature-weighted source mixing (operators/curation.py) — per-source
-# quotas w_i ~ count_i^2 (T = 0.5: the integral-exponent case stays in
-# exact integer arithmetic, so DuckDB recomputes the quota bit-for-bit),
-# drawn by the engine's portable md5 hash order. 200-doc mixture.
-@register(
-    "cur_source_mixing",
-    """
+_PACK_MAX_TOKENS = 200
+
+
+def _pack_root(sf_dir: str) -> str:
+    """Write-once scratch root for the driver row's packed-sequence
+    assignment, keyed by sf + curation/text module sources + the identity
+    of the documents parquet (regenerated testdata rolls the hash)."""
+    import os
+
+    from .functions import text as _text_mod
+    from .operators import curation as _cur_mod
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        ident = f"documents:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        ident = "documents:missing"
+    return _source_hashed_root("bioie_pack", sf_dir, (_cur_mod, _text_mod), extra=ident)
+
+
+def _pack_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize pack_sequences(documents) once per (sf, source hash) and
+    return the parquet path — the cross-engine artifact: Spark's FFD wrote
+    it, and BOTH the Spark digest and the DuckDB oracle recompute the
+    packing invariants from these same bytes (VERDICT r4 #3). Atomic
+    scratch + rename, same shape as the stream-equiv sinks."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.curation import pack_sequences
+
+    root = _pack_root(sf_dir)
+    marker = os.path.join(root, "__done")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root, ignore_errors=True)
+        scr = f"{root}.__tmp-{uuid.uuid4().hex[:12]}"
+        pack_sequences(
+            load(spark, sf_dir, "documents"), _PACK_MAX_TOKENS, n_groups=16
+        ).write.parquet(os.path.join(scr, "packed"))
+        with open(os.path.join(scr, "__done"), "w") as f:
+            f.write("packed")
+        try:
+            os.rename(scr, root)
+        except OSError:  # lost the race — winner's copy is complete
+            shutil.rmtree(scr, ignore_errors=True)
+    return os.path.join(root, "packed")
+
+
+_CUR_MIXING_SQL = """
     WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
     tot AS (SELECT sum(n * n) AS sw FROM counts),
     tgt AS (
@@ -2395,18 +2560,149 @@ def cur_contamination(spark, sf_dir):
                ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42'))
              ) AS INT) AS rn
       FROM documents
+    ),
+    mix AS (
+      SELECT r.doc_id, r.source, r.rn
+      FROM ranked r JOIN tgt t ON r.source = t.source
+      WHERE r.rn <= t.quota
+    ),
+    pk AS (SELECT * FROM read_parquet('{pack_glob}')),
+    pdoc AS (SELECT count(*) AS n_rows, count(DISTINCT id) AS n_ids FROM pk),
+    dtok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ),
+    ptok AS (
+      SELECT (sum(CASE WHEN pk.n_tokens <> dtok.n_tok THEN 1 ELSE 0 END) = 0
+              AND count(*) = (SELECT n_rows FROM pdoc)) AS tokens_ok
+      FROM pk JOIN dtok ON pk.id = dtok.doc_id
+    ),
+    pbin AS (
+      SELECT bin_id, CAST(sum(n_tokens) AS BIGINT) AS bt,
+             max(CASE WHEN oversize THEN 1 ELSE 0 END) AS ov
+      FROM pk GROUP BY bin_id
+    ),
+    pagg AS (
+      SELECT CAST((SELECT n_rows FROM pdoc) AS BIGINT) AS pack_n_docs,
+             ((SELECT n_rows FROM pdoc) = (SELECT n_ids FROM pdoc)
+              AND (SELECT n_rows FROM pdoc) = (SELECT count(*) FROM documents)
+              AND (SELECT tokens_ok FROM ptok)) AS pack_each_once_ok,
+             CAST(count(*) AS BIGINT) AS pack_n_bins,
+             (sum(CASE WHEN ov = 0 AND bt > {max_tok} THEN 1 ELSE 0 END) = 0)
+               AS pack_budget_ok,
+             (count(*) >= sum(CASE WHEN ov = 1 THEN 1 ELSE 0 END)
+              + CAST(ceil(CAST(sum(CASE WHEN ov = 0 THEN bt ELSE 0 END) AS DOUBLE)
+                          / {max_tok}) AS BIGINT)) AS pack_lb_ok,
+             round(coalesce(avg(CASE WHEN ov = 0
+                                     THEN CAST(bt AS DOUBLE) / {max_tok} END),
+                            CAST(0.0 AS DOUBLE)), 4) AS pack_util
+      FROM pbin
     )
-    SELECT r.doc_id, r.source, r.rn
-    FROM ranked r JOIN tgt t ON r.source = t.source
-    WHERE r.rn <= t.quota
-    """,
-)
+    SELECT mix.*, pagg.* FROM mix, pagg
+"""
+
+
+def _cur_mixing_packing_oracle() -> str:
+    """Lazy oracle: recomputes the mixing draw from the documents view AND
+    every packing invariant from the parquet the engine's FFD materialized
+    (each doc exactly once with its true token count, per-bin budget,
+    bin-count lower bound n_oversize + ceil(regular_tokens/max), mean
+    utilization) — the FFD output is cross-engine-verified, not pinned."""
+    import os
+
+    glob = os.path.join(_pack_root(_oracle_sf_dir()), "packed", "*.parquet")
+    return _CUR_MIXING_SQL.format(pack_glob=glob, max_tok=_PACK_MAX_TOKENS)
+
+
+# Temperature-weighted source mixing (operators/curation.py) — per-source
+# quotas w_i ~ count_i^2 (T = 0.5: the integral-exponent case stays in
+# exact integer arithmetic, so DuckDB recomputes the quota bit-for-bit),
+# drawn by the engine's portable md5 hash order. 200-doc mixture — MERGED
+# (VERDICT r4 #3, 50-slot cap) with the pack_sequences digest: every
+# mixing row carries the 1-row packing-invariant digest recomputed by both
+# engines from the materialized packed parquet.
+@register("cur_source_mixing", _cur_mixing_packing_oracle)
 def cur_source_mixing(spark, sf_dir):
     from .operators.curation import mix_sources, source_mix_targets
 
     docs = load(spark, sf_dir, "documents")
     targets = source_mix_targets(docs, total=200, temperature=0.5)
-    return mix_sources(docs, targets)
+    mixed = mix_sources(docs, targets)
+
+    from .functions.text import token_count
+
+    p = spark.read.parquet(_pack_parquet(spark, sf_dir))
+    pdoc = p.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+    )
+    dtok = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    # per-bin audit
+    pbin = p.groupBy("bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("bt"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+    )
+    reg_tokens = F.sum(F.when(F.col("ov") == 0, F.col("bt")).otherwise(F.lit(0)))
+    n_oversize = F.sum(F.col("ov"))
+    pagg = pbin.agg(
+        F.count("*").cast("long").alias("pack_n_bins"),
+        (
+            F.sum(
+                ((F.col("ov") == 0) & (F.col("bt") > _PACK_MAX_TOKENS)).cast("int")
+            )
+            == 0
+        ).alias("pack_budget_ok"),
+        (
+            F.count("*")
+            >= n_oversize
+            + F.ceil(reg_tokens.cast("double") / F.lit(_PACK_MAX_TOKENS)).cast(
+                "long"
+            )
+        ).alias("pack_lb_ok"),
+        F.round(
+            F.coalesce(
+                F.avg(
+                    F.when(
+                        F.col("ov") == 0,
+                        F.col("bt").cast("double") / F.lit(_PACK_MAX_TOKENS),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("pack_util"),
+    )
+    tok_match = (
+        p.join(dtok, p["id"] == dtok["doc_id"])
+        .agg(
+            (F.sum((F.col("n_tokens") != F.col("n_tok")).cast("int")) == 0).alias(
+                "tokens_eq"
+            ),
+            F.count("*").alias("n_joined"),
+        )
+    )
+    n_docs_total = docs.agg(F.count("*").alias("n_docs_total"))
+    digest = (
+        pdoc.crossJoin(tok_match)
+        .crossJoin(n_docs_total)
+        .crossJoin(pagg)
+        .select(
+            F.col("n_rows").alias("pack_n_docs"),
+            (
+                (F.col("n_rows") == F.col("n_ids"))
+                & (F.col("n_rows") == F.col("n_docs_total"))
+                & F.col("tokens_eq")
+                & (F.col("n_joined") == F.col("n_rows"))
+            ).alias("pack_each_once_ok"),
+            "pack_n_bins",
+            "pack_budget_ok",
+            "pack_lb_ok",
+            "pack_util",
+        )
+    )
+    return mixed.crossJoin(digest)
 
 
 # The complete MinHash-LSH fuzzy-dedup composite (candidate pairs ->

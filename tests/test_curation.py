@@ -544,3 +544,28 @@ def test_ngram_lm_score_gibberish_scores_high(spark):
     }
     first = {r["doc_id"]: r["perplexity"] for r in out.collect()}
     assert again == first
+
+
+def test_ngram_lm_pretrained_matches_selftrain(spark, tmp_path):
+    """The persisted-model path (train once -> save -> load -> score; the
+    100 TB shape, VERDICT r4 #4) must be BIT-identical to self-training on
+    the same corpus: same count tables in, same fixed-point mean out."""
+    from bioie_llm_spark.operators.curation import (
+        load_ngram_lm,
+        ngram_lm_score,
+        save_ngram_lm,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out_dir = str(tmp_path / "lm_stage")
+    save_ngram_lm(docs, out_dir)
+    pre = {
+        (r["doc_id"]): (r["n_tokens"], r["avg_nll"], r["perplexity"])
+        for r in ngram_lm_score(docs, model=load_ngram_lm(spark, out_dir)).collect()
+    }
+    self_t = {
+        (r["doc_id"]): (r["n_tokens"], r["avg_nll"], r["perplexity"])
+        for r in ngram_lm_score(docs).collect()
+    }
+    assert pre == self_t
+    assert len(pre) == docs.count()

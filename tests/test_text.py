@@ -159,3 +159,15 @@ def test_duplicate_line_stats_null_and_regex_sep(spark):
         "dup_line_frac": round(1 / 3, 4),
         "dup_char_frac": round(2 / 3, 4),
     }
+
+
+def test_txt_profile_dup_line_support(spark):
+    """The driver row's synthesized 2-token-line view must carry REAL
+    duplicate-line support (181/500 docs at sf0.01 when written) — if a
+    corpus or construction change drives it to zero, the oracle-recomputed
+    dup fractions stop testing anything and this trips first."""
+    from bioie_llm_spark.queries import REGISTRY
+
+    prof = REGISTRY["txt_profile"][0](spark, "/root/testdata/sf0.01")
+    n_dup = prof.filter(F.col("dup_line_frac") > 0).count()
+    assert n_dup >= 50, f"only {n_dup} docs with duplicate lines"
