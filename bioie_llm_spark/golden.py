@@ -28,24 +28,32 @@ from functools import lru_cache
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0_01.json")
 
-# every registry query whose oracle is a pinned golden result
+# every registry query whose oracle is a FULLY pinned golden result
 # (kg_funnel / kg_lineage / kg_triple_pr left this list in round 4: their
 # oracles are now COMPUTED — DuckDB re-aggregates the lineage / triples /
-# facts parquet the pipeline wrote; kg_triples is hybrid — counts computed,
-# xxhash64 content hash pinned)
+# facts parquet the pipeline wrote; kg_triples / kg_canonicalize /
+# dd_minhash_simhash_check left in round 5 for HYBRID_PINNED below)
 GOLDEN_QUERIES = [
-    "kg_triples",
     "kg_entity_task",
     "kg_relation_task",
     "kg_relation_type_task",
     "kg_kegg_entity_task",
-    "kg_canonicalize",
-    "dd_minhash_simhash_check",
     "dd_fuzzy_dedup",
     "mm_binary_pipeline",
     "sim_near_dup_lsh",
     "sim_ann_recall",
 ]
+
+# HYBRID queries (VERDICT r4 #6): only the engine-specific columns — the
+# xxhash64 content hashes and the LSH-recall numbers no other engine can
+# recompute — are pinned; every count, closure boolean, and expected-pair
+# cardinality is COMPUTED by the DuckDB oracle from materialized parquet
+# or the driver tables. gen_golden captures exactly these columns.
+HYBRID_PINNED: dict[str, list[str]] = {
+    "kg_triples": ["content_hash"],
+    "kg_canonicalize": ["map_hash", "triples_hash"],
+    "dd_minhash_simhash_check": ["method", "n_total", "n_found", "score"],
+}
 
 _SQL_TYPES = {
     "long": "BIGINT",

@@ -66,6 +66,98 @@ def _ppm_encode(w: int, h: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_parse(payload: bytes | None) -> tuple[int, int, bytes]:
+    """Parse a PNG payload (8-bit RGB, non-interlaced — the subset
+    report.py:png_encode emits and any minimal RGB writer produces) ->
+    (width, height, rgb bytes). Pure stdlib: chunk walk, zlib inflate,
+    and all five scanline filters (None/Sub/Up/Average/Paeth) unapplied.
+    Raises NotImplementedError for any other variant so the per-row
+    dispatch falls back to the deterministic stub (VERDICT r4 #5)."""
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    i, w, h, idat = len(_PNG_SIG), None, None, b""
+    depth = color = interlace = None
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise NotImplementedError("truncated PNG chunk")
+        i += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None or (depth, color, interlace) != (8, 2, 0) or w <= 0 or h <= 0:
+        raise NotImplementedError("unsupported PNG variant")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        raise NotImplementedError("corrupt PNG stream") from None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("bad PNG raster size")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(3, stride):
+                row[x] = (row[x] + row[x - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = row[x - 3] if x >= 3 else 0
+                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[x] = (
+                    row[x]
+                    + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"unknown PNG filter {ft}")
+        out += row
+        prev = row
+    return w, h, bytes(out)
+
+
+def _png_encode(w: int, h: int, rgb: bytes) -> bytes:
+    """Re-encode resized PNG payloads with STORED deflate blocks (level 0):
+    byte-stable across zlib builds, so pinned goldens over resized payloads
+    can never drift with the compressor."""
+    from ..report import png_encode
+
+    return png_encode(w, h, rgb, level=0)
+
+
+def _image_parse(payload: bytes | None) -> tuple[str, int, int, bytes]:
+    """Format-sniffing decode: (fmt, w, h, rgb) for the formats the stdlib
+    path understands — 'ppm' (P6) and 'png' (8-bit RGB). Anything else
+    raises NotImplementedError for the stub fallback."""
+    if payload and payload.startswith(_PNG_SIG):
+        w, h, rgb = _png_parse(payload)
+        return "png", w, h, rgb
+    w, h, rgb = _ppm_parse(payload)
+    return "ppm", w, h, rgb
+
+
 def _nn_resample(w: int, h: int, rgb: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resample of raw RGB bytes (pure stdlib)."""
     out = bytearray()
@@ -127,21 +219,25 @@ def _image_features(w: int, h: int, rgb: bytes, dim: int = 16) -> list[float]:
 
 
 def _real_decode(op: str, *args):
-    """The real-media decode dispatch. PPM (P6) images are decoded with
-    pure stdlib (VERDICT r3 #6 — the real branch runs in CI, no PIL
-    required); any other format raises NotImplementedError so the caller
-    falls back PER ROW to the deterministic stub — a working pipeline is
-    never turned into a hard failure by an exotic payload (ADVICE r2).
-    A PIL/ffmpeg build would extend the dispatch here (gated on _HAS_PIL)
-    and every operator picks it up automatically."""
+    """The real-media decode dispatch. PPM (P6) and minimal-RGB PNG images
+    are decoded with pure stdlib (VERDICT r3 #6 / r4 #5 — both real
+    branches run in CI, no PIL required); any other format raises
+    NotImplementedError so the caller falls back PER ROW to the
+    deterministic stub — a working pipeline is never turned into a hard
+    failure by an exotic payload (ADVICE r2). A PIL/ffmpeg build would
+    extend the dispatch here (gated on _HAS_PIL) and every operator picks
+    it up automatically. Resized payloads keep their input format."""
     if op == "extract_features":
         (payload,) = args
-        w, h, rgb = _ppm_parse(payload)
+        _, w, h, rgb = _image_parse(payload)
         return _image_features(w, h, rgb, FEATURE_DIM)
     if op == "resize_image_row":
         payload, out_w, out_h = args
-        w, h, rgb = _ppm_parse(payload)
-        return _ppm_encode(out_w, out_h, _nn_resample(w, h, rgb, out_w, out_h))
+        fmt, w, h, rgb = _image_parse(payload)
+        resized = _nn_resample(w, h, rgb, out_w, out_h)
+        if fmt == "png":
+            return _png_encode(out_w, out_h, resized)
+        return _ppm_encode(out_w, out_h, resized)
     raise NotImplementedError(op)
 
 
@@ -167,11 +263,14 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_sha string"
 
 def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic assets: kind and metadata hash-assigned, pure
-    expressions. Half the image assets carry a REAL 8x8 binary PPM (P6)
-    payload (header + 192 md5-derived RGB bytes) so the real-decode branch
-    is exercised by the standard pipeline; the rest carry opaque md5-chain
-    bytes that route through the deterministic stub — both branches under
-    the same driver signal."""
+    expressions. Half the image assets carry a REAL 8x8 payload — a binary
+    PPM (P6) for format-selector 0 (header + 192 md5-derived RGB bytes,
+    pure expressions) and a minimal 8-bit-RGB PNG for selector 1 (same
+    md5-chain construction, zlib-framed by an Arrow-batched pass since
+    CRC/deflate are not expressible in Catalyst) — so BOTH real-decode
+    branches are exercised by the standard pipeline; the rest carry opaque
+    md5-chain bytes that route through the deterministic stub — all
+    branches under the same driver signal."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     kind = F.element_at(kinds, F.pmod(F.xxhash64("id", F.lit(1)), F.lit(3)).cast("int") + 1)
     junk = F.unhex(
@@ -181,29 +280,42 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
             F.md5(F.concat(F.lit("p3|"), F.col("id").cast("string"))),
         )
     )
-    ppm = F.concat(
-        F.to_binary(F.lit("P6\n8 8\n255\n"), F.lit("UTF-8")),
-        F.unhex(
-            F.concat(
-                *[
-                    F.md5(F.concat(F.lit(f"px{j}|"), F.col("id").cast("string")))
-                    for j in range(12)  # 12 x 16 bytes = 8*8*3 RGB bytes
-                ]
-            )
-        ),
+    rgb_hex = F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"px{j}|"), F.col("id").cast("string")))
+            for j in range(12)  # 12 x 16 bytes = 8*8*3 RGB bytes
+        ]
     )
-    payload = F.when(
-        (kind == "image") & (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2)) == 0), ppm
-    ).otherwise(junk)
+    ppm = F.concat(F.to_binary(F.lit("P6\n8 8\n255\n"), F.lit("UTF-8")), F.unhex(rgb_hex))
+    fmt_sel = F.pmod(F.xxhash64("id", F.lit(5)), F.lit(4))
+    payload = F.when((kind == "image") & (fmt_sel == 0), ppm).otherwise(junk)
     meta = F.struct(
         (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(512)) + 16).cast("int").alias("width"),
         (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(512)) + 16).cast("int").alias("height"),
         F.lit(16000).alias("sample_rate"),
         (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(30)) + 1).cast("int").alias("n_frames"),
     )
-    return spark.range(n).select(
-        F.col("id").alias("asset_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    base = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+        ((kind == "image") & (fmt_sel == 1)).alias("__png"),
+        rgb_hex.alias("__rgb_hex"),
     )
+
+    def to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _png_encode(8, 8, bytes.fromhex(hx)) if is_png else p
+                for is_png, p, hx in zip(
+                    pdf["__png"], pdf["payload"], pdf["__rgb_hex"]
+                )
+            ]
+            yield pdf.drop(columns=["__png", "__rgb_hex"])
+
+    return base.mapInPandas(to_png, ASSET_SCHEMA)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -197,10 +197,16 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
     # The pairs frame is driver-check-sized (<= a few thousand rows), so the
     # eager materialization is bounded; eager (not lazy) per the measured
     # persistence race on multi-consumer frames.
-    pairs = (
-        out["pairs"].select("pred", F.col("true").alias("gold"))
-        .localCheckpoint(eager=True)
-    )
+    # r5 (VERDICT r4 #7): the PRIMARY metrics row is also rebuilt from the
+    # same checkpoint instead of out["metrics"] — whose lineage replayed
+    # the task pipeline per labels/tp/fp/fn scan and dominated the
+    # remaining 355 exchanges. classification_metrics is deterministic on
+    # identical (pred, true) rows, so the golden values are unchanged.
+    ckpt = out["pairs"].select("pred", "true").localCheckpoint(eager=True)
+    from .operators.metrics import classification_metrics
+
+    metrics = classification_metrics(ckpt)
+    pairs = ckpt.select("pred", F.col("true").alias("gold"))
     pairs.createOrReplaceTempView(view)
     rec = spark.sql(f"""
         WITH lab AS (
@@ -275,7 +281,7 @@ def _metrics_with_recompute(spark: SparkSession, out: dict, view: str) -> DataFr
         & (F.abs(F.col("weighted_recall") - F.col("r_weighted_r")) < tol)
     )
     n_pairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
-    joined = out["metrics"].crossJoin(rec).crossJoin(n_pairs)
+    joined = metrics.crossJoin(rec).crossJoin(n_pairs)
     return round_doubles(
         joined.select(*_METRIC_COLS, "n_pairs", agree.alias("recompute_ok"))
     )
@@ -642,23 +648,106 @@ def kg_hot_predicates(spark, sf_dir):
     )
 
 
-@register("kg_canonicalize", golden_sql("kg_canonicalize"))
+def _canon_root(sf_dir: str) -> str:
+    """Write-once scratch root for the canonicalization outputs (mapping +
+    remapped triples), keyed on the same sources as the kg stages PLUS the
+    canonical module — any semantics change rolls the hash."""
+    from . import datagen, extraction, pipeline
+    from .operators import canonical as _canon_mod
+    from .sources import checkpoint
+
+    return _source_hashed_root(
+        "bioie_canon",
+        sf_dir,
+        (datagen.corpus, extraction, pipeline, checkpoint, _canon_mod),
+    )
+
+
+def _canon_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the canonicalization outputs once and return the root:
+    ``mapping/`` (name, canonical_id) and ``remapped/`` (subj, pred, obj,
+    source_sha256) — the cross-engine artifacts BOTH the Spark digest and
+    the DuckDB oracle recompute counts/closure from (VERDICT r4 #6)."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.canonical import canonicalize_entities, canonicalize_triples
+
+    root = _canon_root(sf_dir)
+    marker = os.path.join(root, "__done")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root, ignore_errors=True)
+        scr = f"{root}.__tmp-{uuid.uuid4().hex[:12]}"
+        t = _kg_stages(spark, sf_dir)["triples"]
+        names = (
+            t.select(F.col("subj").alias("name"))
+            .unionByName(t.select(F.col("obj").alias("name")))
+            .distinct()
+        )
+        mapping = canonicalize_entities(names)
+        mapping.write.parquet(os.path.join(scr, "mapping"))
+        mapping_back = spark.read.parquet(os.path.join(scr, "mapping"))
+        canonicalize_triples(
+            t.select("subj", "pred", "obj", "source_sha256"), mapping_back
+        ).distinct().write.parquet(os.path.join(scr, "remapped"))
+        with open(os.path.join(scr, "__done"), "w") as f:
+            f.write("canonicalized")
+        try:
+            os.rename(scr, root)
+        except OSError:  # lost the race — winner's copy is complete
+            shutil.rmtree(scr, ignore_errors=True)
+    return root
+
+
+def _kg_canonicalize_oracle() -> str | None:
+    """HYBRID oracle (r5): DuckDB recomputes every count AND the closure /
+    idempotency invariants from the materialized mapping + remapped parquet
+    (an independent engine re-verifying the connected-components fixpoint);
+    only the two xxhash64 content hashes stay pinned."""
+    import os
+
+    pinned = golden_sql("kg_canonicalize")
+    if pinned is None:
+        return None
+    root = _canon_root(_oracle_sf_dir())
+    m_glob = os.path.join(root, "mapping", "*.parquet")
+    t_glob = os.path.join(root, "remapped", "*.parquet")
+    return f"""
+    WITH m AS (SELECT * FROM read_parquet('{m_glob}')),
+    c AS (SELECT * FROM read_parquet('{t_glob}')),
+    magg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_names,
+             CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_canonical
+      FROM m
+    ),
+    cagg AS (SELECT CAST(count(*) AS BIGINT) AS n_canonical_triples FROM c),
+    fix AS (
+      SELECT
+        (sum(CASE WHEN m2.name IS NULL THEN 1 ELSE 0 END) = 0) AS closed_ok,
+        (sum(CASE WHEN m2.canonical_id <> ids.canonical_id
+                  THEN 1 ELSE 0 END) = 0) AS idempotent_ok
+      FROM (SELECT DISTINCT canonical_id FROM m) ids
+      LEFT JOIN m m2 ON ids.canonical_id = m2.name
+    )
+    SELECT magg.n_names, magg.n_canonical, g.map_hash,
+           cagg.n_canonical_triples, g.triples_hash,
+           fix.closed_ok, fix.idempotent_ok
+    FROM magg, cagg, fix, ({pinned}) AS g
+    """
+
+
+@register("kg_canonicalize", _kg_canonicalize_oracle)
 def kg_canonicalize(spark, sf_dir):
     """Canonicalization applied to the real output table: surface-name ->
     canonical-id mapping (normalized-name + Jaccard + connected components)
-    and the remapped triple table, digested into one pinned row."""
-    from .operators.canonical import canonicalize_entities, canonicalize_triples
-
-    t = _kg_stages(spark, sf_dir)["triples"]
-    names = (
-        t.select(F.col("subj").alias("name"))
-        .unionByName(t.select(F.col("obj").alias("name")))
-        .distinct()
-    )
-    mapping = canonicalize_entities(names)
-    remapped = canonicalize_triples(
-        t.select("subj", "pred", "obj", "source_sha256"), mapping
-    ).distinct()
+    and the remapped triple table. Digest computed from the MATERIALIZED
+    parquet both engines read: counts + closure/idempotency recomputed by
+    DuckDB, xxhash64 hashes pinned (hybrid, VERDICT r4 #6)."""
+    root = _canon_parquet(spark, sf_dir)
+    mapping = spark.read.parquet(f"{root}/mapping")
+    remapped = spark.read.parquet(f"{root}/remapped")
     m = mapping.agg(
         F.count("*").cast("long").alias("n_names"),
         F.countDistinct("canonical_id").alias("n_canonical"),
@@ -670,11 +759,10 @@ def kg_canonicalize(spark, sf_dir):
             "triples_hash"
         ),
     )
-    # computed invariants inside the pin (VERDICT r2 #5): the mapping must
-    # be IDEMPOTENT (every canonical_id maps to itself — canonicalizing
-    # twice changes nothing) and CLOSED (every canonical_id is itself a
-    # mapped name); a clustering bug flips these booleans independently of
-    # the pinned hashes.
+    # the mapping must be IDEMPOTENT (every canonical_id maps to itself)
+    # and CLOSED (every canonical_id is itself a mapped name); since r5 the
+    # ORACLE recomputes these from the parquet, so a clustering bug is
+    # caught by an independent engine, not just by these booleans.
     m2 = mapping.select(
         F.col("name").alias("canonical_id"), F.col("canonical_id").alias("canon2")
     )
@@ -1550,7 +1638,63 @@ def dd_ngram_jaccard(spark, sf_dir):
 # - simhash: fingerprints must be identical when computed from a
 #   differently-partitioned copy of the input — the parallelism-invariance
 #   property every 100TB run depends on (ok = all docs agree).
-@register("dd_minhash_simhash_check", golden_sql("dd_minhash_simhash_check"))
+def _dd_minhash_simhash_oracle() -> str | None:
+    """HYBRID oracle (r5): DuckDB recomputes the minhash row's reference
+    cardinality n_expected — the capped-index exact n-gram-Jaccard pairs at
+    0.8, same formulation as dd_ngram_jaccard's computed oracle — and the
+    ENTIRE simhash-invariance row (on 200 sampled docs the fingerprints
+    must agree perfectly: n_found = n_expected = 200, score 1.0, ok true —
+    a computed expectation, not a pin). Only the LSH-dependent minhash
+    numbers (n_total candidates, n_found, recall score) stay pinned; 'ok'
+    is expected literal true, so a recall drop below the 0.9 floor flips
+    the driver row red."""
+    pinned = golden_sql("dd_minhash_simhash_check")
+    if pinned is None:
+        return None
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+             )) AS grams
+      FROM norm
+    ),
+    ex0 AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM sh),
+    hot AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) > 100),
+    ex AS (SELECT * FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    expected AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_expected
+      FROM shared WHERE shared / (na + nb - shared) >= 0.8
+    ),
+    pin AS (
+      SELECT n_total, n_found, score FROM ({pinned}) AS g
+      WHERE method = 'minhash_lsh_recall@0.8'
+    ),
+    sample_n AS (
+      SELECT CAST(least(200, count(*)) AS BIGINT) AS n FROM documents
+    )
+    SELECT 'minhash_lsh_recall@0.8' AS method,
+           pin.n_total, expected.n_expected, pin.n_found, pin.score,
+           CAST(0.9 AS DOUBLE) AS floor, true AS ok
+    FROM pin, expected
+    UNION ALL
+    SELECT 'simhash_partition_invariance', n, n, n,
+           CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true
+    FROM sample_n
+    """
+
+
+@register("dd_minhash_simhash_check", _dd_minhash_simhash_oracle)
 def dd_minhash_simhash_check(spark, sf_dir):
     from .operators.dedup import (
         minhash_lsh_candidates,
@@ -2786,9 +2930,21 @@ def mm_binary_pipeline(spark, sf_dir):
     # its byte-per-pixel stand-in (w*h bytes). n_resized_real pins how many
     # went through the real PPM path (r4: half the images).
     ppm_hdr = F.to_binary(F.lit("P6\n64 64\n255\n"), F.lit("UTF-8"))
-    is_real = (F.substring("payload", 1, 13) == ppm_hdr) & (
+    is_real_ppm = (F.substring("payload", 1, 13) == ppm_hdr) & (
         F.length("payload") == 13 + 64 * 64 * 3
     )
+    # a real resized PNG: signature + IHDR at the fixed offset declaring
+    # 64x64 8-bit RGB non-interlaced (bytes 17-29 of a minimal writer)
+    png_hdr = F.unhex(
+        F.lit(
+            "89504E470D0A1A0A"      # PNG signature
+            "0000000D49484452"      # IHDR length + tag
+            "0000004000000040"      # width 64, height 64
+            "0802000000"            # depth 8, RGB, non-interlaced
+        )
+    )
+    is_real_png = F.substring("payload", 1, 29) == png_hdr
+    is_real = is_real_ppm | is_real_png
     is_stub = F.length("payload") == 64 * 64
     r_dig = resize_images(assets, 64, 64).agg(
         F.sum(
@@ -2799,9 +2955,12 @@ def mm_binary_pipeline(spark, sf_dir):
                 & (is_real | is_stub)
             ).cast("int")
         ).cast("long").alias("n_resized_ok"),
-        F.sum(((F.col("kind") == "image") & is_real).cast("int"))
+        F.sum(((F.col("kind") == "image") & is_real_ppm).cast("int"))
         .cast("long")
         .alias("n_resized_real"),
+        F.sum(((F.col("kind") == "image") & is_real_png).cast("int"))
+        .cast("long")
+        .alias("n_resized_real_png"),
         F.bit_xor(
             F.xxhash64(
                 "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")

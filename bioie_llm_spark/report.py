@@ -151,11 +151,11 @@ def _viridis(x: float) -> tuple[int, int, int]:
     return anchors[-1][1]
 
 
-def _write_png(path: str, pixels: list[list[tuple[int, int, int]]]) -> None:
-    h, w = len(pixels), len(pixels[0])
-    raw = b"".join(
-        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels
-    )
+def png_encode(w: int, h: int, rgb: bytes, level: int = 6) -> bytes:
+    """Encode raw RGB bytes as a minimal PNG (8-bit RGB, filter 0 rows,
+    one IDAT). The matching stdlib decoder lives in
+    multimodal/binary_ops.py:_png_parse — round-trip property-tested."""
+    raw = b"".join(b"\x00" + rgb[y * w * 3 : (y + 1) * w * 3] for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -164,11 +164,19 @@ def _write_png(path: str, pixels: list[list[tuple[int, int, int]]]) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _write_png(path: str, pixels: list[list[tuple[int, int, int]]]) -> None:
+    h, w = len(pixels), len(pixels[0])
+    rgb = b"".join(b"".join(bytes(px) for px in row) for row in pixels)
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_encode(w, h, rgb))
 
 
 def confusion_png(

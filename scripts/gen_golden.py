@@ -18,7 +18,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bioie_llm_spark.golden import GOLDEN_PATH, GOLDEN_QUERIES, capture  # noqa: E402
+from bioie_llm_spark.golden import (  # noqa: E402
+    GOLDEN_PATH,
+    GOLDEN_QUERIES,
+    HYBRID_PINNED,
+    capture,
+)
 
 
 def main() -> None:
@@ -33,6 +38,11 @@ def main() -> None:
         snap = capture(fn(spark, sf_dir))
         out[name] = snap
         print(f"{name}: {len(snap['rows'])} rows", flush=True)
+    for name, pinned_cols in HYBRID_PINNED.items():
+        fn, _ = REGISTRY[name]
+        snap = capture(fn(spark, sf_dir).select(*pinned_cols))
+        out[name] = snap
+        print(f"{name} (hybrid, {pinned_cols}): {len(snap['rows'])} rows", flush=True)
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(out, f, indent=1, ensure_ascii=False)

@@ -11,6 +11,8 @@ from bioie_llm_spark.multimodal.binary_ops import (
     _fake_features,
     _image_features,
     _nn_resample,
+    _png_encode,
+    _png_parse,
     _ppm_encode,
     _ppm_parse,
     extract_features,
@@ -26,20 +28,33 @@ def _is_ppm(payload: bytes) -> bool:
     return bytes(payload).startswith(b"P6")
 
 
+def _is_png(payload: bytes) -> bool:
+    return bytes(payload).startswith(b"\x89PNG\r\n\x1a\n")
+
+
 def test_synth_assets_shape(spark):
-    a = synth_assets(spark, 30)
-    assert a.count() == 30
+    a = synth_assets(spark, 64)
+    assert a.count() == 64
     rows = a.collect()
     for row in rows:
         p = bytes(row["payload"])
-        assert len(p) == (PPM_LEN if _is_ppm(p) else JUNK_LEN)
         if _is_ppm(p):
+            assert len(p) == PPM_LEN
             assert row["kind"] == "image"  # only images carry real media
+        elif _is_png(p):
+            assert _png_parse(p)[:2] == (8, 8)
+            assert row["kind"] == "image"
+        else:
+            assert len(p) == JUNK_LEN
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
-    # both branches must be represented in the standard corpus
+    # all three payload branches must be represented in the standard corpus
     assert any(_is_ppm(bytes(r["payload"])) for r in rows)
-    assert any(not _is_ppm(bytes(r["payload"])) for r in rows)
+    assert any(_is_png(bytes(r["payload"])) for r in rows)
+    assert any(
+        not _is_ppm(bytes(r["payload"])) and not _is_png(bytes(r["payload"]))
+        for r in rows
+    )
 
 
 def test_extract_features(spark):
@@ -66,6 +81,10 @@ def test_extract_features_real_vs_stub_dispatch(spark):
     for aid, p in payloads.items():
         if _is_ppm(p):
             w, h, rgb = _ppm_parse(p)
+            expect = _image_features(w, h, rgb, FEATURE_DIM)
+            n_real += 1
+        elif _is_png(p):
+            w, h, rgb = _png_parse(p)
             expect = _image_features(w, h, rgb, FEATURE_DIM)
             n_real += 1
         else:
@@ -132,6 +151,13 @@ def test_resize_images(spark):
                 assert (w, h) == (32, 16)
                 sw, sh, srgb = _ppm_parse(orig[aid])
                 assert rgb == _nn_resample(sw, sh, srgb, 32, 16)
+            elif _is_png(orig[aid]):
+                # REAL branch, PNG in -> PNG out (format preserved)
+                assert _is_png(bytes(r["payload"]))
+                w, h, rgb = _png_parse(bytes(r["payload"]))
+                assert (w, h) == (32, 16)
+                sw, sh, srgb = _png_parse(orig[aid])
+                assert rgb == _nn_resample(sw, sh, srgb, 32, 16)
             else:
                 # stub branch: byte-per-pixel hash-derived stand-in
                 assert len(r["payload"]) == 32 * 16
@@ -175,3 +201,110 @@ def test_ppm_roundtrip_property():
         assert len(out) == 3 * 5 * 3
 
     check()
+
+
+def _rgb_of(seed: int, n: int) -> bytes:
+    import hashlib
+
+    buf = bytearray()
+    i = 0
+    while len(buf) < n:
+        buf.extend(hashlib.md5(f"{seed}|{i}".encode()).digest())
+        i += 1
+    return bytes(buf[:n])
+
+
+def test_png_roundtrip_property():
+    """Hypothesis (VERDICT r4 #5): report.py's stdlib PNG ENCODER (deflate
+    level 6) round-trips through binary_ops' stdlib DECODER for any
+    (w, h, rgb), as does the stored-block re-encoder the resize path
+    emits — the two halves of the codec pin each other."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bioie_llm_spark.report import png_encode
+
+    @settings(max_examples=150, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 2**32 - 1))
+    def check(w, h, seed):
+        rgb = _rgb_of(seed, w * h * 3)
+        assert _png_parse(png_encode(w, h, rgb)) == (w, h, rgb)
+        assert _png_parse(_png_encode(w, h, rgb)) == (w, h, rgb)
+
+    check()
+
+
+def test_png_parse_all_filters():
+    """The decoder unapplies every PNG scanline filter (0-4): build a
+    raster that FORWARD-filters each row with a chosen type, frame it as a
+    PNG, and check the decode recovers the original pixels."""
+    import struct
+    import zlib
+
+    w, h = 5, 5
+    rgb = _rgb_of(7, w * h * 3)
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            enc = bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            enc = bytes(
+                (row[x] - ((row[x - 3] if x >= 3 else 0) + prev[x]) // 2) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            enc = bytearray()
+            for x in range(stride):
+                a = row[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc.append((row[x] - pr) & 0xFF)
+            enc = bytes(enc)
+        raw.extend(enc)
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert _png_parse(png) == (w, h, rgb)
+
+
+def test_png_parse_rejects_unsupported():
+    import pytest as _pytest
+
+    from bioie_llm_spark.report import png_encode
+
+    good = png_encode(4, 4, _rgb_of(1, 48))
+    for bad in (
+        None,
+        b"",
+        b"\x89PNG\r\n\x1a\n",          # no chunks
+        good[:-20],                      # truncated
+        good.replace(b"\x08\x02", b"\x08\x06", 1),  # RGBA color type
+    ):
+        with _pytest.raises(NotImplementedError):
+            _png_parse(bad)

@@ -1,6 +1,6 @@
 """Registry-level contract the driver harness depends on."""
 
-from bioie_llm_spark.golden import GOLDEN_QUERIES, load_golden
+from bioie_llm_spark.golden import GOLDEN_QUERIES, HYBRID_PINNED, load_golden
 from bioie_llm_spark.queries import REGISTRY
 
 
@@ -30,10 +30,16 @@ def test_kg_flagship_registered_first():
 
 def test_golden_file_complete():
     g = load_golden()
-    assert set(GOLDEN_QUERIES) <= set(g), sorted(set(GOLDEN_QUERIES) - set(g))
-    for name in GOLDEN_QUERIES:
+    expected = set(GOLDEN_QUERIES) | set(HYBRID_PINNED)
+    assert expected <= set(g), sorted(expected - set(g))
+    for name in expected:
         assert g[name]["rows"], f"{name}: empty golden rows"
         assert name in REGISTRY
+    # hybrid captures hold ONLY the pinned engine-specific columns — a
+    # regeneration that silently re-pins computed columns would weaken the
+    # oracle back to a full pin
+    for name, cols in HYBRID_PINNED.items():
+        assert [c for c, _ in g[name]["columns"]] == cols, name
 
 
 def test_golden_invariants_hold():
@@ -48,9 +54,19 @@ def test_golden_invariants_hold():
             for fc in flag_cols:
                 assert row[cols.index(fc)] is True, (name, fc, row)
 
-    flags("dd_minhash_simhash_check", "ok")
+    # dd_minhash_simhash_check went hybrid in r5: 'ok' is now a computed
+    # oracle-side literal true (a recall drop flips the driver row red);
+    # only method/n_total/n_found/score stay pinned.
     flags("sim_ann_recall", "ok")
-    flags("sim_near_dup_lsh", "high_recall_ok")
+    flags(
+        "sim_near_dup_lsh",
+        "high_recall_ok",
+        "sd_recall_ok",
+        "sd_subset_ok",
+        "sd_keeper_min_ok",
+        "sd_planted_ok",
+        "sd_closure_ok",
+    )
     # kg_triple_pr / kg_hot_predicates left the golden file in round 4:
     # their oracles are COMPUTED, with the invariant booleans written as
     # literal `true` on the oracle side (pass_precision/pass_recall,
@@ -66,7 +82,8 @@ def test_golden_invariants_hold():
         "kg_kegg_entity_task",
     ):
         flags(task, "recompute_ok")
-    flags("kg_canonicalize", "closed_ok", "idempotent_ok")
+    # kg_canonicalize went hybrid in r5: closed_ok/idempotent_ok are now
+    # RECOMPUTED by the DuckDB oracle from the materialized mapping parquet.
     flags(
         "dd_fuzzy_dedup", "keeper_is_min_ok", "closure_ok", "clusters_eq_keepers"
     )
