@@ -337,15 +337,24 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         save_ngram_lm,
     )
 
-    import hashlib
-
+    # cache keyed on curation source + the IDENTITY of the documents
+    # parquet (path/size/mtime — two sf-less dirs or regenerated testdata
+    # can never share a model), completed atomically with a __done marker
+    # (code-review r5: the uni/_SUCCESS probe could pass on a half-written
+    # cache since uni is written first)
     from bioie_llm_spark.operators import curation as _cur_mod
+    from bioie_llm_spark.queries import _source_hashed_root, materialize_once
 
-    with open(_cur_mod.__file__, "rb") as _f:
-        _cur_key = hashlib.md5(_f.read()).hexdigest()[:8]
-    lm_dir = os.path.join(root, f"lm_stage_sf{sf}_{_cur_key}")
-    if not os.path.exists(os.path.join(lm_dir, "uni", "_SUCCESS")):
-        save_ngram_lm(docs, lm_dir)  # train-once cost, outside both slots
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        ident = f"{os.path.realpath(doc_path)}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        ident = f"{doc_path}:missing"
+    lm_dir = materialize_once(
+        _source_hashed_root("bioie_lm_stage", sf_dir, (_cur_mod,), extra=ident),
+        lambda scr: save_ngram_lm(docs, scr),  # train-once, outside both slots
+    )
     def _force_lm(df):
         return df.agg(F.sum("avg_nll"), F.sum("n_tokens")).collect()
     _force_lm(ngram_lm_score(w_docs))  # warm both plan shapes

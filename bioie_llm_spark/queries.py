@@ -669,17 +669,10 @@ def _canon_parquet(spark: SparkSession, sf_dir: str) -> str:
     source_sha256) — the cross-engine artifacts BOTH the Spark digest and
     the DuckDB oracle recompute counts/closure from (VERDICT r4 #6)."""
     import os
-    import shutil
-    import uuid
 
     from .operators.canonical import canonicalize_entities, canonicalize_triples
 
-    root = _canon_root(sf_dir)
-    marker = os.path.join(root, "__done")
-    if not os.path.exists(marker):
-        if os.path.exists(root):
-            shutil.rmtree(root, ignore_errors=True)
-        scr = f"{root}.__tmp-{uuid.uuid4().hex[:12]}"
+    def build(scr: str) -> None:
         t = _kg_stages(spark, sf_dir)["triples"]
         names = (
             t.select(F.col("subj").alias("name"))
@@ -692,13 +685,8 @@ def _canon_parquet(spark: SparkSession, sf_dir: str) -> str:
         canonicalize_triples(
             t.select("subj", "pred", "obj", "source_sha256"), mapping_back
         ).distinct().write.parquet(os.path.join(scr, "remapped"))
-        with open(os.path.join(scr, "__done"), "w") as f:
-            f.write("canonicalized")
-        try:
-            os.rename(scr, root)
-        except OSError:  # lost the race — winner's copy is complete
-            shutil.rmtree(scr, ignore_errors=True)
-    return root
+
+    return materialize_once(_canon_root(sf_dir), build)
 
 
 def _kg_canonicalize_oracle() -> str | None:
@@ -2151,14 +2139,17 @@ def txt_profile(spark, sf_dir):
     # the same construction — same pattern as cur_paragraph_dedup's corpus.
     toks = F.split(F.col("text"), " ")
     n_lines_raw = F.ceil(F.size(toks) / F.lit(2.0)).cast("int")
+    # join/split on the unit separator, not '\n': a future corpus whose
+    # text contains literal newlines would otherwise make Spark re-split
+    # chunks the oracle treats as atomic (code-review r5)
     lined = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n_lines_raw - 1),
             lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
         ),
-        "\n",
+        "\x1f",
     )
-    dls = duplicate_line_stats(lined)
+    dls = duplicate_line_stats(lined, sep="\x1f")
     # PII is injected deterministically into every 11th doc so the scrub
     # pass has real work whose mask count the oracle recomputes (the
     # synthetic corpus itself contains no emails/URLs/IPs)
@@ -2660,34 +2651,47 @@ def _pack_root(sf_dir: str) -> str:
     return _source_hashed_root("bioie_pack", sf_dir, (_cur_mod, _text_mod), extra=ident)
 
 
-def _pack_parquet(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize pack_sequences(documents) once per (sf, source hash) and
-    return the parquet path — the cross-engine artifact: Spark's FFD wrote
-    it, and BOTH the Spark digest and the DuckDB oracle recompute the
-    packing invariants from these same bytes (VERDICT r4 #3). Atomic
-    scratch + rename, same shape as the stream-equiv sinks."""
+def materialize_once(root: str, build_fn) -> str:
+    """Shared write-once protocol for scratch materializations (pack /
+    canonicalize; the stream-equiv sinks predate it and carry extra
+    _spark_metadata steps): if ``root/__done`` is absent, build into a
+    scratch sibling via ``build_fn(scratch_dir)``, stamp the marker, and
+    atomically rename into place — losing a concurrent race is safe, the
+    winner's copy is complete (code-review r5: the protocol lives once)."""
     import os
     import shutil
     import uuid
 
-    from .operators.curation import pack_sequences
-
-    root = _pack_root(sf_dir)
     marker = os.path.join(root, "__done")
     if not os.path.exists(marker):
-        if os.path.exists(root):
+        if os.path.exists(root):  # pre-atomic corpse or older partial build
             shutil.rmtree(root, ignore_errors=True)
         scr = f"{root}.__tmp-{uuid.uuid4().hex[:12]}"
-        pack_sequences(
-            load(spark, sf_dir, "documents"), _PACK_MAX_TOKENS, n_groups=16
-        ).write.parquet(os.path.join(scr, "packed"))
+        build_fn(scr)
         with open(os.path.join(scr, "__done"), "w") as f:
-            f.write("packed")
+            f.write("done")
         try:
             os.rename(scr, root)
         except OSError:  # lost the race — winner's copy is complete
             shutil.rmtree(scr, ignore_errors=True)
-    return os.path.join(root, "packed")
+    return root
+
+
+def _pack_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize pack_sequences(documents) once per (sf, source hash) and
+    return the parquet path — the cross-engine artifact: Spark's FFD wrote
+    it, and BOTH the Spark digest and the DuckDB oracle recompute the
+    packing invariants from these same bytes (VERDICT r4 #3)."""
+    import os
+
+    from .operators.curation import pack_sequences
+
+    def build(scr: str) -> None:
+        pack_sequences(
+            load(spark, sf_dir, "documents"), _PACK_MAX_TOKENS, n_groups=16
+        ).write.parquet(os.path.join(scr, "packed"))
+
+    return os.path.join(materialize_once(_pack_root(sf_dir), build), "packed")
 
 
 _CUR_MIXING_SQL = """
