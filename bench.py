@@ -253,17 +253,34 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     for name in HEADLINE:
         REGISTRY[name][0](spark, warm_sf).count()
 
+    # every slot is best-of-2 (r5): the --scaling path's warmup+min-of-N
+    # policy applied to the headline. Measured motivation: byte-identical
+    # warmed plans showed 7.3s-then-1.6s first-vs-second runs under
+    # scheduler noise — a single shot measures the noise, the min measures
+    # the operator. (r2-r4 headline numbers were single-shot: compare
+    # rounds via the steady-state, not the raw totals.)
+    def best_of(fn, runs: int = 2) -> float:
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     sec, n_triples = timed_pipeline(spark, corpus_dir, gaz_dir, cpus)
+    sec2, _ = timed_pipeline(spark, corpus_dir, gaz_dir, cpus)
+    sec = min(sec, sec2)
     timings["kg_extract"] = round(sec, 3)
     # minhash candidate generation timed as the raw production operator —
     # its registry query (dd_minhash_simhash_check) deliberately bundles
     # the exact-reference recompute + simhash invariance checks, which is
     # a correctness-harness cost, not operator throughput
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
-    t0 = time.time()
-    minhash_lsh_candidates(docs).count()
-    timings["dd_minhash_candidates"] = round(time.time() - t0, 3)
+    timings["dd_minhash_candidates"] = best_of(
+        lambda: minhash_lsh_candidates(docs).count()
+    )
 
     # --- skewed/boilerplate variant (VERDICT r2 #10): 20% of docs replaced
     # by one near-identical boilerplate text — every band hashes the
@@ -276,9 +293,9 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             F.lit(BOILERPLATE),
         ).otherwise(F.col("text")),
     )
-    t0 = time.time()
-    minhash_lsh_candidates(skew_docs).count()
-    timings["dd_minhash_skewed"] = round(time.time() - t0, 3)
+    timings["dd_minhash_skewed"] = best_of(
+        lambda: minhash_lsh_candidates(skew_docs).count()
+    )
     dropped = (
         minhash_dropped_buckets(skew_docs)
         .agg(F.count("*").alias("n"), F.coalesce(F.sum("sz"), F.lit(0)).alias("p"))
@@ -293,12 +310,12 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
     skew_keyed = skew_docs.select(F.md5("text").alias("k"))
     salted_count(skew_keyed.limit(500), ["k"]).count()  # warm plan shape
-    t0 = time.time()
-    salted_count(skew_keyed, ["k"]).count()
-    timings["skew_salted_count"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    skew_keyed.groupBy("k").agg(F.count("*")).count()
-    timings["skew_plain_count"] = round(time.time() - t0, 3)
+    timings["skew_salted_count"] = best_of(
+        lambda: salted_count(skew_keyed, ["k"]).count()
+    )
+    timings["skew_plain_count"] = best_of(
+        lambda: skew_keyed.groupBy("k").agg(F.count("*")).count()
+    )
 
     # --- generate_fn plug-point overhead (VERDICT r2 #8): a trivial CPU
     # "model" through the batched-inference operator over the full corpus —
@@ -310,12 +327,13 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             "prompt"
         ),
     )
-    t0 = time.time()
-    n_gen = mock_generate(
-        prompts, generate_fn=lambda ps: [p + " none." for p in ps]
-    ).count()
-    gen_sec = time.time() - t0
-    timings["kg_generate_fn"] = round(gen_sec, 3)
+    n_gen = prompts.count()  # one row per prompt, invariant across runs
+    gen_sec = best_of(
+        lambda: mock_generate(
+            prompts, generate_fn=lambda ps: [p + " none." for p in ps]
+        ).count()
+    )
+    timings["kg_generate_fn"] = gen_sec
 
     # --- sequence packing (registry-external: FFD has no SQL oracle —
     # correctness lives in test_curation's invariants): docs into 512-token
@@ -323,9 +341,9 @@ def run_once(cpus: int, sf_dir: str) -> dict:
     from bioie_llm_spark.operators.curation import pack_sequences
 
     pack_sequences(w_docs, max_tokens=512, n_groups=64).count()  # warm
-    t0 = time.time()
-    pack_sequences(docs, max_tokens=512, n_groups=64).count()
-    timings["cur_pack_sequences"] = round(time.time() - t0, 3)
+    timings["cur_pack_sequences"] = best_of(
+        lambda: pack_sequences(docs, max_tokens=512, n_groups=64).count()
+    )
 
     # --- LM scoring: self-trained (model re-aggregated per query) vs
     # pre-trained (count tables persisted once, loaded, scored — the
@@ -359,19 +377,15 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         return df.agg(F.sum("avg_nll"), F.sum("n_tokens")).collect()
     _force_lm(ngram_lm_score(w_docs))  # warm both plan shapes
     _force_lm(ngram_lm_score(w_docs, model=load_ngram_lm(spark, lm_dir)))
-    t0 = time.time()
-    _force_lm(ngram_lm_score(docs))
-    timings["lm_score_selftrain"] = round(time.time() - t0, 3)
+    timings["lm_score_selftrain"] = best_of(lambda: _force_lm(ngram_lm_score(docs)))
     model = load_ngram_lm(spark, lm_dir)
-    t0 = time.time()
-    _force_lm(ngram_lm_score(docs, model=model))
-    timings["lm_score_pretrained"] = round(time.time() - t0, 3)
+    timings["lm_score_pretrained"] = best_of(
+        lambda: _force_lm(ngram_lm_score(docs, model=model))
+    )
 
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(lambda: fn(spark, sf_dir).count())
     spark.stop()
     return {
         "sf": sf,
