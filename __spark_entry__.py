@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
     Q._kg_stages(spark, Q._oracle_sf_dir())
     Q._pack_parquet(spark, Q._oracle_sf_dir())
     Q._canon_parquet(spark, Q._oracle_sf_dir())
+    Q._fuzzy_parquet(spark, Q._oracle_sf_dir())
+    Q._mm_parquet(spark, Q._oracle_sf_dir())
     stages = build_triples(spark, CorpusSpec.for_scale(0.001))
     return stages["triples"].select(
         "subj", "pred", "obj", "n_sources", "source_sha256"

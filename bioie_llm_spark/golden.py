@@ -38,8 +38,6 @@ GOLDEN_QUERIES = [
     "kg_relation_task",
     "kg_relation_type_task",
     "kg_kegg_entity_task",
-    "dd_fuzzy_dedup",
-    "mm_binary_pipeline",
     "sim_near_dup_lsh",
     "sim_ann_recall",
 ]
@@ -53,6 +51,8 @@ HYBRID_PINNED: dict[str, list[str]] = {
     "kg_triples": ["content_hash"],
     "kg_canonicalize": ["map_hash", "triples_hash"],
     "dd_minhash_simhash_check": ["method", "n_total", "n_found", "score"],
+    "dd_fuzzy_dedup": ["assign_hash"],
+    "mm_binary_pipeline": ["features_hash", "resize_hash", "frames_hash"],
 }
 
 _SQL_TYPES = {

@@ -82,9 +82,10 @@ def test_golden_invariants_hold():
         "kg_kegg_entity_task",
     ):
         flags(task, "recompute_ok")
-    # kg_canonicalize went hybrid in r5: closed_ok/idempotent_ok are now
-    # RECOMPUTED by the DuckDB oracle from the materialized mapping parquet.
-    flags(
-        "dd_fuzzy_dedup", "keeper_is_min_ok", "closure_ok", "clusters_eq_keepers"
-    )
-    flags("mm_binary_pipeline", "resize_covers_images", "frames_cover_videos")
+    # kg_canonicalize and dd_fuzzy_dedup went hybrid in r5: closed_ok/
+    # idempotent_ok and keeper_is_min_ok/clusters_eq_keepers are now
+    # RECOMPUTED by the DuckDB oracle from materialized parquet (closure_ok
+    # stays an engine-side check the oracle expects literal true).
+    # mm_binary_pipeline went hybrid in r5: resize_covers_images /
+    # frames_cover_videos and every count are recomputed by the oracle
+    # from the materialized stage parquet; only the three hashes pin.
