@@ -35,6 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
     Q._canon_parquet(spark, Q._oracle_sf_dir())
     Q._fuzzy_parquet(spark, Q._oracle_sf_dir())
     Q._mm_parquet(spark, Q._oracle_sf_dir())
+    for task in (
+        "kg_entity_task", "kg_relation_task",
+        "kg_relation_type_task", "kg_kegg_entity_task",
+    ):
+        # constructing the task row materializes its pairs parquet
+        # (write-once) so the computed oracle can read it in any order
+        Q.REGISTRY[task][0](spark, Q._oracle_sf_dir())
     stages = build_triples(spark, CorpusSpec.for_scale(0.001))
     return stages["triples"].select(
         "subj", "pred", "obj", "n_sources", "source_sha256"

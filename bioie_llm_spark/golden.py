@@ -34,10 +34,6 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0_01.json")
 # facts parquet the pipeline wrote; kg_triples / kg_canonicalize /
 # dd_minhash_simhash_check left in round 5 for HYBRID_PINNED below)
 GOLDEN_QUERIES = [
-    "kg_entity_task",
-    "kg_relation_task",
-    "kg_relation_type_task",
-    "kg_kegg_entity_task",
     "sim_near_dup_lsh",
     "sim_ann_recall",
 ]
@@ -48,6 +44,10 @@ GOLDEN_QUERIES = [
 # cardinality is COMPUTED by the DuckDB oracle from materialized parquet
 # or the driver tables. gen_golden captures exactly these columns.
 HYBRID_PINNED: dict[str, list[str]] = {
+    "kg_entity_task": ["pairs_hash"],
+    "kg_relation_task": ["pairs_hash"],
+    "kg_relation_type_task": ["pairs_hash"],
+    "kg_kegg_entity_task": ["pairs_hash"],
     "kg_triples": ["content_hash"],
     "kg_canonicalize": ["map_hash", "triples_hash"],
     "dd_minhash_simhash_check": ["method", "n_total", "n_found", "score"],

@@ -74,14 +74,10 @@ def test_golden_invariants_hold():
     # row red via test_oracle_parity; the numeric columns are recomputed
     # from parquet. The >= 0.95 floor itself is additionally hard-asserted
     # in test_pipeline.
-    # computed invariants inside the pinned task metrics (VERDICT r2 #5)
-    for task in (
-        "kg_entity_task",
-        "kg_relation_task",
-        "kg_relation_type_task",
-        "kg_kegg_entity_task",
-    ):
-        flags(task, "recompute_ok")
+    # the four scored tasks went hybrid in r5: every metric value is
+    # recomputed by the DuckDB oracle from the materialized pairs parquet
+    # (recompute_ok expected literal true on the oracle side); only
+    # pairs_hash — pinning the task's output multiset — stays captured.
     # kg_canonicalize and dd_fuzzy_dedup went hybrid in r5: closed_ok/
     # idempotent_ok and keeper_is_min_ok/clusters_eq_keepers are now
     # RECOMPUTED by the DuckDB oracle from materialized parquet (closure_ok
