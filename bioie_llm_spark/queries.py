@@ -3117,6 +3117,16 @@ _MM_PNG_HDR_HEX = (
     "0000004000000040"  # width 64, height 64
     "0802000000"        # depth 8, RGB, non-interlaced
 )
+# 54-byte 24-bit BI_RGB bottom-up header for a 64x64 resize target — fully
+# determined by the geometry, so both engines can classify by byte prefix
+_MM_BMP_HDR_HEX = (
+    "424D" + "36300000" + "00000000" + "36000000"  # 'BM', size 12342, offset 54
+    + "28000000" + "40000000" + "40000000"          # BITMAPINFOHEADER, w=h=64
+    + "0100" + "1800" + "00000000" + "00300000"     # 1 plane, 24 bpp, BI_RGB
+    + "130B0000" + "130B0000" + "00000000" + "00000000"
+)
+# RIFF....WAVE sniff for real-audio classification (offsets 0-3 and 8-11)
+_MM_RIFF_HEX, _MM_WAVE_HEX = "52494646", "57415645"
 
 
 def _mm_binary_pipeline_oracle() -> str | None:
@@ -3140,7 +3150,13 @@ def _mm_binary_pipeline_oracle() -> str | None:
       SELECT CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_images,
              CAST(sum(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_videos
+               AS n_videos,
+             CAST(sum(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_audio,
+             CAST(sum(CASE WHEN kind = 'audio'
+                            AND left(hex(payload), 8) = '{_MM_RIFF_HEX}'
+                            AND substr(hex(payload), 17, 8) = '{_MM_WAVE_HEX}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_real
       FROM assets
     ),
     rz AS (
@@ -3149,17 +3165,21 @@ def _mm_binary_pipeline_oracle() -> str | None:
               AND octet_length(payload) = {13 + 64 * 64 * 3}) AS is_ppm,
              left(hex(payload), {len(_MM_PNG_HDR_HEX)}) = '{_MM_PNG_HDR_HEX}'
                AS is_png,
+             (left(hex(payload), {len(_MM_BMP_HDR_HEX)}) = '{_MM_BMP_HDR_HEX}'
+              AND octet_length(payload) = {54 + 64 * 64 * 3}) AS is_bmp,
              octet_length(payload) = {64 * 64} AS is_stub
       FROM read_parquet('{glob("resized")}')
     ),
     r AS (
       SELECT CAST(sum(CASE WHEN kind = 'image' AND width = 64 AND height = 64
-                            AND (is_ppm OR is_png OR is_stub)
+                            AND (is_ppm OR is_png OR is_bmp OR is_stub)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resized_ok,
              CAST(sum(CASE WHEN kind = 'image' AND is_ppm THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resized_real,
              CAST(sum(CASE WHEN kind = 'image' AND is_png THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_resized_real_png
+                  AS BIGINT) AS n_resized_real_png,
+             CAST(sum(CASE WHEN kind = 'image' AND is_bmp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resized_real_bmp
       FROM rz
     ),
     fr AS (
@@ -3168,7 +3188,9 @@ def _mm_binary_pipeline_oracle() -> str | None:
       FROM read_parquet('{glob("frames")}')
     )
     SELECT f.n_assets, g.features_hash, k.n_images, k.n_videos,
+           k.n_audio, k.n_audio_real,
            r.n_resized_ok, r.n_resized_real, r.n_resized_real_png,
+           r.n_resized_real_bmp,
            g.resize_hash, fr.n_frames, fr.n_frame_videos, g.frames_hash,
            (r.n_resized_ok = k.n_images) AS resize_covers_images,
            (fr.n_frame_videos = k.n_videos) AS frames_cover_videos
@@ -3196,12 +3218,22 @@ def mm_binary_pipeline(spark, sf_dir):
     kinds = assets.agg(
         F.sum((F.col("kind") == "image").cast("int")).cast("long").alias("n_images"),
         F.sum((F.col("kind") == "video").cast("int")).cast("long").alias("n_videos"),
+        F.sum((F.col("kind") == "audio").cast("int")).cast("long").alias("n_audio"),
+        # real-audio classification: RIFF....WAVE container sniff — the
+        # rows whose features rode the real WAV-PCM decode branch
+        F.sum(
+            (
+                (F.col("kind") == "audio")
+                & (F.substring("payload", 1, 4) == F.unhex(F.lit(_MM_RIFF_HEX)))
+                & (F.substring("payload", 9, 4) == F.unhex(F.lit(_MM_WAVE_HEX)))
+            ).cast("int")
+        ).cast("long").alias("n_audio_real"),
     )
     # a resized image payload is valid in either branch: REAL decode emits
-    # a P6 or PNG at the target box, the stub emits its byte-per-pixel
-    # stand-in (w*h bytes). n_resized_real / n_resized_real_png count how
-    # many rode each real path — classifications the oracle recomputes
-    # from the same payload bytes via hex-prefix checks.
+    # a P6/PNG/BMP at the target box, the stub emits its byte-per-pixel
+    # stand-in (w*h bytes). n_resized_real{,_png,_bmp} count how many rode
+    # each real path — classifications the oracle recomputes from the same
+    # payload bytes via hex-prefix checks.
     ppm_hdr = F.unhex(F.lit(_MM_PPM_HDR_HEX))
     is_real_ppm = (F.substring("payload", 1, 13) == ppm_hdr) & (
         F.length("payload") == 13 + 64 * 64 * 3
@@ -3210,7 +3242,12 @@ def mm_binary_pipeline(spark, sf_dir):
     # 64x64 8-bit RGB non-interlaced (bytes 1-29 of a minimal writer)
     png_hdr = F.unhex(F.lit(_MM_PNG_HDR_HEX))
     is_real_png = F.substring("payload", 1, 29) == png_hdr
-    is_real = is_real_ppm | is_real_png
+    # a real resized BMP: the geometry-determined 54-byte header + raster
+    bmp_hdr = F.unhex(F.lit(_MM_BMP_HDR_HEX))
+    is_real_bmp = (F.substring("payload", 1, 54) == bmp_hdr) & (
+        F.length("payload") == 54 + 64 * 64 * 3
+    )
+    is_real = is_real_ppm | is_real_png | is_real_bmp
     is_stub = F.length("payload") == 64 * 64
     r_dig = spark.read.parquet(f"{root}/resized").agg(
         F.sum(
@@ -3227,6 +3264,9 @@ def mm_binary_pipeline(spark, sf_dir):
         F.sum(((F.col("kind") == "image") & is_real_png).cast("int"))
         .cast("long")
         .alias("n_resized_real_png"),
+        F.sum(((F.col("kind") == "image") & is_real_bmp).cast("int"))
+        .cast("long")
+        .alias("n_resized_real_bmp"),
         F.bit_xor(
             F.xxhash64(
                 "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")
