@@ -85,6 +85,28 @@ def round_doubles(df: DataFrame, places: int = 4) -> DataFrame:
 _KG_CACHE: dict[tuple[int, float], dict] = {}
 
 
+def _snapshot_package_sources() -> dict[str, bytes]:
+    """Read every .py in the package tree ONCE at import time. Scratch-root
+    hashing (_source_hashed_root) keys on these bytes so the key always
+    matches the code this process imported, even if the files on disk are
+    edited while the process is alive."""
+    import glob as _glob
+    import os as _os
+
+    pkg_root = _os.path.dirname(_os.path.abspath(__file__))
+    snap: dict[str, bytes] = {}
+    for path in _glob.glob(_os.path.join(pkg_root, "**", "*.py"), recursive=True):
+        try:
+            with open(path, "rb") as f:
+                snap[_os.path.abspath(path)] = f.read()
+        except OSError:
+            pass
+    return snap
+
+
+_SRC_SNAPSHOT = _snapshot_package_sources()
+
+
 def _kg_sf(sf_dir: str) -> float:
     import re as _re
 
@@ -96,15 +118,27 @@ def _source_hashed_root(prefix: str, sf_dir: str, mods, extra: str = "") -> str:
     """Shared keying for the write-once /tmp scratch roots: one dir per
     (prefix, sf, md5 of the given module sources [+ extra identity bytes]),
     so a code change can never resume from a stale materialization and
-    repeated runs reuse instead of accumulating."""
+    repeated runs reuse instead of accumulating.
+
+    The source bytes come from _SRC_SNAPSHOT, taken when this module was
+    imported: a long-lived process (pytest session, notebook) whose source
+    files are edited underneath it keeps keying on the code it actually
+    imported and runs, instead of writing stale output into the new
+    code's root — the one way a poisoned materialization could otherwise
+    arise."""
     import hashlib
     import os
     import tempfile
 
     h = hashlib.md5()
     for mod in mods:
-        with open(mod.__file__, "rb") as f:
-            h.update(f.read())
+        path = os.path.abspath(mod.__file__)
+        src = _SRC_SNAPSHOT.get(path)
+        if src is None:  # module outside the package tree: read it now
+            with open(path, "rb") as f:
+                src = f.read()
+            _SRC_SNAPSHOT[path] = src
+        h.update(src)
     h.update(extra.encode())
     return os.path.join(
         tempfile.gettempdir(), f"{prefix}_sf{_kg_sf(sf_dir)}_{h.hexdigest()[:8]}"
