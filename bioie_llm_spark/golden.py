@@ -33,10 +33,11 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "sf0_01.json")
 # oracles are now COMPUTED — DuckDB re-aggregates the lineage / triples /
 # facts parquet the pipeline wrote; kg_triples / kg_canonicalize /
 # dd_minhash_simhash_check left in round 5 for HYBRID_PINNED below)
-GOLDEN_QUERIES = [
-    "sim_near_dup_lsh",
-    "sim_ann_recall",
-]
+# Fully-pinned golden queries: NONE since r5 — every registry row is
+# either SQL-computed or hybrid (counts and invariants recomputed by the
+# DuckDB oracle from materialized parquet; only engine-specific hashes
+# and LSH-recall-style digests pinned, listed in HYBRID_PINNED below).
+GOLDEN_QUERIES: list[str] = []
 
 # HYBRID queries (VERDICT r4 #6): only the engine-specific columns — the
 # xxhash64 content hashes and the LSH-recall numbers no other engine can
@@ -53,6 +54,8 @@ HYBRID_PINNED: dict[str, list[str]] = {
     "dd_minhash_simhash_check": ["method", "n_total", "n_found", "score"],
     "dd_fuzzy_dedup": ["assign_hash"],
     "mm_binary_pipeline": ["features_hash", "resize_hash", "frames_hash"],
+    "sim_ann_recall": ["method", "ann_hash"],
+    "sim_near_dup_lsh": ["lsh_hash", "sd_hash"],
 }
 
 _SQL_TYPES = {

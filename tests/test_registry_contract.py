@@ -43,30 +43,21 @@ def test_golden_file_complete():
 
 
 def test_golden_invariants_hold():
-    """The pinned self-check booleans must be pinned TRUE — a golden file
-    regenerated while an invariant fails would otherwise lock in the
-    failure as 'expected'."""
+    """Every self-check boolean left the golden file in r5: the last two
+    fully-pinned rows (sim_ann_recall, sim_near_dup_lsh) went hybrid, so
+    their recall floors and dedup invariants are now oracle-side literal
+    `true` (repo convention — an engine-side false flips the driver row
+    red via test_oracle_parity) over counts the DuckDB oracle recomputes
+    from materialized parquet. What remains pinned is engine-specific
+    only (hashes, LSH recall digests); this test pins THAT property: no
+    boolean column may reappear in a hybrid capture."""
     g = load_golden()
-
-    def flags(name, *flag_cols):
-        cols = [c for c, _ in g[name]["columns"]]
-        for row in g[name]["rows"]:
-            for fc in flag_cols:
-                assert row[cols.index(fc)] is True, (name, fc, row)
-
-    # dd_minhash_simhash_check went hybrid in r5: 'ok' is now a computed
-    # oracle-side literal true (a recall drop flips the driver row red);
-    # only method/n_total/n_found/score stay pinned.
-    flags("sim_ann_recall", "ok")
-    flags(
-        "sim_near_dup_lsh",
-        "high_recall_ok",
-        "sd_recall_ok",
-        "sd_subset_ok",
-        "sd_keeper_min_ok",
-        "sd_planted_ok",
-        "sd_closure_ok",
-    )
+    for name, cols in HYBRID_PINNED.items():
+        for c, dtype in g[name]["columns"]:
+            assert dtype != "boolean", (
+                f"{name}: pinned boolean column {c} — recompute it or "
+                "expect literal true on the oracle side instead"
+            )
     # kg_triple_pr / kg_hot_predicates left the golden file in round 4:
     # their oracles are COMPUTED, with the invariant booleans written as
     # literal `true` on the oracle side (pass_precision/pass_recall,
