@@ -2257,7 +2257,8 @@ def _sim_ann_recall_oracle() -> str | None:
     pinned = golden_sql("sim_ann_recall")
     if pinned is None:
         return None
-    glob = os.path.join(_ann_parquet_path_for_oracle(), "*.parquet")
+    # resolved lazily at oracle-SQL build time from the oracle sf (ADVICE r4)
+    glob = os.path.join(_ann_root(_oracle_sf_dir()), "ann", "*.parquet")
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2301,14 +2302,6 @@ def _sim_ann_recall_oracle() -> str | None:
     JOIN ({pinned}) g USING (method)
     ORDER BY m.method
     """
-
-
-def _ann_parquet_path_for_oracle() -> str:
-    """Oracle-side path to the materialized ANN parquet (resolved lazily
-    at oracle-SQL build time from the oracle sf root — ADVICE r4)."""
-    import os
-
-    return os.path.join(_ann_root(_oracle_sf_dir()), "ann")
 
 
 @register("sim_ann_recall", _sim_ann_recall_oracle)
@@ -3033,31 +3026,26 @@ def cur_contamination(spark, sf_dir):
 _PACK_MAX_TOKENS = 200
 
 
-def _docs_ident(sf_dir: str) -> str:
-    """Identity string for the documents parquet (size + mtime): scratch
+def _table_ident(sf_dir: str, table: str) -> str:
+    """Identity string for a driver parquet table (size + mtime): scratch
     roots keyed on it can never serve results computed from swapped or
     regenerated testdata."""
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
-        return f"documents:{st.st_size}:{int(st.st_mtime)}"
+        return f"{table}:{st.st_size}:{int(st.st_mtime)}"
     except OSError:
-        return "documents:missing"
+        return f"{table}:missing"
+
+
+def _docs_ident(sf_dir: str) -> str:
+    return _table_ident(sf_dir, "documents")
 
 
 def _emb_ident(sf_dir: str) -> str:
-    """Identity string for the embeddings parquet (size + mtime) — the
-    _docs_ident twin for similarity scratch roots."""
-    import os
-
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        return f"embeddings:{st.st_size}:{int(st.st_mtime)}"
-    except OSError:
-        return "embeddings:missing"
+    return _table_ident(sf_dir, "embeddings")
 
 
 def _pack_root(sf_dir: str) -> str:

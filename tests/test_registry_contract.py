@@ -52,7 +52,7 @@ def test_golden_invariants_hold():
     only (hashes, LSH recall digests); this test pins THAT property: no
     boolean column may reappear in a hybrid capture."""
     g = load_golden()
-    for name, cols in HYBRID_PINNED.items():
+    for name in HYBRID_PINNED:
         for c, dtype in g[name]["columns"]:
             assert dtype != "boolean", (
                 f"{name}: pinned boolean column {c} — recompute it or "
