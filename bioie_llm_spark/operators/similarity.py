@@ -339,6 +339,159 @@ def lsh_ann_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, TPAMI — public
+    method): split the ``dim``-dim space into ``m`` subspaces and learn
+    ``ks`` centroids per subspace with the same deterministic seeding +
+    fixed-point Lloyd refinement as ivf_centroids. Returns
+    ``books[j][c] -> sub-vector`` — m * ks * (dim/m) floats, driver-sized
+    (the whole codebook for m=8, ks=16, dim=64 is 1024 floats)."""
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m {m}"
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        books.append(ivf_centroids(sliced, ks, id_col, vec_col, lloyd_iters))
+    return books
+
+
+def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
+    """PQ code array for a vector: per subspace, the argmin-distance
+    centroid index (array<int> of length m). Pure expression — the
+    encoded corpus carries m small ints instead of dim floats, the 10-100x
+    memory-traffic reduction that makes exhaustive ANN viable at scale."""
+    m = len(books)
+    sub = len(books[0][0])
+    return F.array(
+        *[
+            ivf_assign(F.slice(vec, j * sub + 1, sub), books[j])
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_score(qvec: Column, codes: Column, books: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance inner product: sum over subspaces of
+    dot(query sub-vector, centroid[code]). The query stays exact, the
+    corpus side is its quantized reconstruction — the standard ADC
+    estimator, here as a pure Catalyst expression (element_at into the
+    literal codebook, zip_with dot per subspace)."""
+    m = len(books)
+    sub = len(books[0][0])
+    total = F.lit(0.0)
+    for j in range(m):
+        book = F.array(
+            *[F.array(*[F.lit(v) for v in cent]) for cent in books[j]]
+        )
+        rec = F.element_at(book, F.element_at(codes, j + 1) + 1)
+        total = total + dot(F.slice(qvec, j * sub + 1, sub), rec)
+    return total
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 6,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the canonical web-scale ANN layout: IVF
+    coarse cells prune candidates (equi-join on cell, no cross join), PQ
+    codes + ADC rank them WITHOUT touching the full vectors, and only the
+    top ``refine * k`` per query are re-ranked by exact cosine via a tiny
+    vec_id join back to the corpus.
+
+    Scale shape: the scan side carries (vec_id, cell, m-byte codes) — at
+    dim=64/m=8 that is ~32x less data than the raw floats, so the
+    candidate scan is memory-bandwidth-cheap; the exact re-rank join
+    touches refine*k rows per query. Both vectors are L2-normalized up
+    front so ADC inner product estimates cosine directly (raw-vector
+    codebooks, not residual — the simpler published variant).
+    Deterministic at any parallelism: codebooks inherit ivf_centroids'
+    md5 seeding + fixed-point Lloyd, and both ranking windows break ties
+    on vec_id."""
+    norm = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", l2_norm(F.col("v")))  # norm once, not per element
+        .select(
+            "vec_id", F.transform("v", lambda x: x / F.col("__n")).alias("nvec")
+        )
+    )
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    cents = ivf_centroids(norm, n_centroids, "vec_id", "nvec")
+    books = pq_codebooks(norm, dim, m, ks, "vec_id", "nvec")
+    enc = norm.select(
+        "vec_id",
+        ivf_assign(F.col("nvec"), cents).alias("cell"),
+        pq_encode(F.col("nvec"), books).alias("codes"),
+    )
+    qn = (
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", l2_norm(F.col("v")))
+        .select(
+            "query_id", F.transform("v", lambda x: x / F.col("__n")).alias("qvec")
+        )
+    )
+    dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        qn.withColumn("probe", F.explode(ranked_cells))
+        .select("query_id", "qvec", F.col("probe.cell").alias("cell"))
+    )
+    adc = F.broadcast(q).join(enc, "cell").select(
+        "query_id",
+        "vec_id",
+        _adc_score(F.col("qvec"), F.col("codes"), books).alias("adc_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_ip").desc(), F.col("vec_id"))
+    shortlist = adc.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= refine * k
+    )
+    rerank = (
+        shortlist.join(norm, "vec_id")
+        .join(qn.select("query_id", F.col("qvec").alias("qv2")), "query_id")
+        .select(
+            "query_id", "vec_id", dot(F.col("qv2"), F.col("nvec")).alias("cosine_sim")
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -77,6 +77,72 @@ def test_ivf_topk_recall(spark):
         assert qid == vid  # self lives in the probed (own) cell
 
 
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """IVF-PQ (PQ codes + ADC shortlist + exact re-rank): recall against
+    the brute-force top-10 on the near-isotropic fixture, self is top-1
+    (its own cell is always probed and exact re-rank restores cosine=1),
+    and results are bit-identical at any parallelism (md5 seeding +
+    fixed-point Lloyd — no RNG anywhere)."""
+    from bioie_llm_spark.operators.similarity import ivfpq_topk
+
+    exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
+    approx = ivfpq_topk(
+        _corpus(spark), _queries(spark), k=10,
+        n_centroids=8, n_probe=6, m=16, ks=16, refine=8,
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "inner").count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+    top1 = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    for qid, vid in top1.items():
+        assert qid == vid
+    again = ivfpq_topk(
+        _corpus(spark).repartition(7), _queries(spark), k=10,
+        n_centroids=8, n_probe=6, m=16, ks=16, refine=8,
+    )
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pq_codes_shape_and_adc_orders_reconstruction(spark):
+    """PQ encoding emits one code per subspace, every code is a valid
+    codebook index, and the quantizer assigns each sub-vector to its
+    NEAREST centroid — the property that makes the ADC estimate track the
+    true inner product."""
+    from bioie_llm_spark.operators.similarity import (
+        l2_norm,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    c = (
+        _corpus(spark)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .withColumn("__n", l2_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x / F.col("__n")).alias("embedding"),
+        )
+    )
+    m, ks = 8, 16
+    books = pq_codebooks(c, dim=64, m=m, ks=ks)
+    assert len(books) == m and all(len(b) == ks for b in books)
+    assert all(len(cent) == 64 // m for b in books for cent in b)
+    rows = c.select(
+        "embedding", pq_encode(F.col("embedding"), books).alias("codes")
+    ).collect()
+    sub = 64 // m
+    for r in rows:
+        codes, vec = r["codes"], r["embedding"]
+        assert len(codes) == m
+        for j, code in enumerate(codes):
+            assert 0 <= code < ks
+            sv = vec[j * sub : (j + 1) * sub]
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(sv, cent)) for cent in books[j]
+            ]
+            assert dists[code] == min(dists)  # nearest-centroid assignment
+
+
 def test_lsh_ann_recall(spark):
     """Multi-probe LSH must recover most of the exact top-10."""
     exact = cosine_topk(_corpus(spark), _queries(spark), k=10)
