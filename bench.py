@@ -383,6 +383,50 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         lambda: _force_lm(ngram_lm_score(docs, model=model))
     )
 
+    # --- IVF-PQ ANN serve path (r5): index ONCE outside the timed region
+    # (codebooks + encoded corpus persisted, the train-once stage shape),
+    # then time only ivfpq_query — probe + ADC shortlist from 8-byte codes
+    # + exact re-rank. The contrast slot is sim_cosine_topk in HEADLINE
+    # (brute-force scan of the raw vectors for the same 5 queries).
+    from bioie_llm_spark.operators.similarity import ivfpq_index, ivfpq_query
+    from bioie_llm_spark.queries import _table_ident
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    from bioie_llm_spark.operators import similarity as _sim_mod
+
+    _books_box: dict = {}
+
+    def _build_ann(scr: str) -> None:
+        cents, books, enc = ivfpq_index(emb, n_centroids=8, m=16, ks=16)
+        enc.write.parquet(os.path.join(scr, "enc"))
+        with open(os.path.join(scr, "model.json"), "w") as f:
+            json.dump({"cents": cents, "books": books}, f)
+
+    ann_dir = materialize_once(
+        _source_hashed_root(
+            "bioie_bench_ann", sf_dir, (_sim_mod,),
+            extra=_table_ident(sf_dir, "embeddings"),
+        ),
+        _build_ann,
+    )
+    with open(os.path.join(ann_dir, "model.json")) as f:
+        _books_box = json.load(f)
+    enc_df = spark.read.parquet(os.path.join(ann_dir, "enc"))
+    ann_q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _ann_serve():
+        return ivfpq_query(
+            enc_df, emb, _books_box["cents"], _books_box["books"], ann_q,
+            k=10, n_probe=6, refine=8,
+        ).count()
+
+    _ann_serve()  # warm the plan shape
+    timings["sim_ann_ivfpq_query"] = best_of(_ann_serve)
+
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         timings[name] = best_of(lambda: fn(spark, sf_dir).count())

@@ -399,43 +399,37 @@ def _adc_score(qvec: Column, codes: Column, books: list[list[list[float]]]) -> C
     return total
 
 
-def ivfpq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 8,
-    n_probe: int = 6,
-    m: int = 8,
-    ks: int = 16,
-    refine: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+def _l2_normalize(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
 ) -> DataFrame:
-    """IVF-PQ approximate top-k — the canonical web-scale ANN layout: IVF
-    coarse cells prune candidates (equi-join on cell, no cross join), PQ
-    codes + ADC rank them WITHOUT touching the full vectors, and only the
-    top ``refine * k`` per query are re-ranked by exact cosine via a tiny
-    vec_id join back to the corpus.
-
-    Scale shape: the scan side carries (vec_id, cell, m-byte codes) — at
-    dim=64/m=8 that is ~32x less data than the raw floats, so the
-    candidate scan is memory-bandwidth-cheap; the exact re-rank join
-    touches refine*k rows per query. Both vectors are L2-normalized up
-    front so ADC inner product estimates cosine directly (raw-vector
-    codebooks, not residual — the simpler published variant).
-    Deterministic at any parallelism: codebooks inherit ivf_centroids'
-    md5 seeding + fixed-point Lloyd, and both ranking windows break ties
-    on vec_id."""
-    norm = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .withColumn("__n", l2_norm(F.col("v")))  # norm once, not per element
+    """(id, unit vector) — the norm is computed once per row, not per
+    element."""
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
         .select(
-            "vec_id", F.transform("v", lambda x: x / F.col("__n")).alias("nvec")
+            out_id, F.transform("__v", lambda x: x / F.col("__n")).alias(out_vec)
         )
     )
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Build the IVF-PQ index ONCE: (coarse centroids, PQ codebooks,
+    encoded corpus (vec_id, cell, codes)). The encoded side is the
+    persistable artifact — at dim=64/m=16 the codes are ~64x smaller than
+    the raw doubles, so a 100 TB embedding table indexes down to a
+    TB-scale scan — and the centroid/codebook lists are driver-sized
+    (n_centroids*dim + m*ks*dim/m floats). Vectors are L2-normalized so
+    ADC inner product estimates cosine directly."""
+    norm = _l2_normalize(corpus, id_col, vec_col, "vec_id", "nvec")
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     cents = ivf_centroids(norm, n_centroids, "vec_id", "nvec")
     books = pq_codebooks(norm, dim, m, ks, "vec_id", "nvec")
     enc = norm.select(
@@ -443,13 +437,30 @@ def ivfpq_topk(
         ivf_assign(F.col("nvec"), cents).alias("cell"),
         pq_encode(F.col("nvec"), books).alias("codes"),
     )
-    qn = (
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v"))
-        .withColumn("__n", l2_norm(F.col("v")))
-        .select(
-            "query_id", F.transform("v", lambda x: x / F.col("__n")).alias("qvec")
-        )
-    )
+    return cents, books, enc
+
+
+def ivfpq_query(
+    enc: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 6,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a prebuilt IVF-PQ index: queries probe their n_probe nearest
+    cells (equi-join on cell, no cross join), ADC ranks the candidates
+    from codes alone, and only the top ``refine * k`` per query are
+    re-ranked by exact cosine via a tiny vec_id join back to the corpus.
+    Deterministic at any parallelism: both ranking windows break ties on
+    vec_id."""
+    norm = _l2_normalize(corpus, id_col, vec_col, "vec_id", "nvec")
+    qn = _l2_normalize(queries, query_id_col, vec_col, "query_id", "qvec")
     dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
     ranked_cells = F.slice(
         F.array_sort(
@@ -489,6 +500,29 @@ def ivfpq_topk(
         rerank.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 6,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011) — index + query in one
+    call; production use builds the index once with ivfpq_index, persists
+    the encoded corpus, and serves with ivfpq_query."""
+    cents, books, enc = ivfpq_index(corpus, n_centroids, m, ks, id_col, vec_col)
+    return ivfpq_query(
+        enc, corpus, cents, books, queries, k, n_probe, refine,
+        id_col, vec_col, query_id_col,
     )
 
 
