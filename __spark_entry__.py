@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     Q._mm_parquet(spark, Q._oracle_sf_dir())
     Q._simlsh_parquet(spark, Q._oracle_sf_dir())
     Q._ann_parquet(spark, Q._oracle_sf_dir())
+    Q._mhc_parquet(spark, Q._oracle_sf_dir())
     for task in (
         "kg_entity_task", "kg_relation_task",
         "kg_relation_type_task", "kg_kegg_entity_task",

@@ -51,7 +51,7 @@ HYBRID_PINNED: dict[str, list[str]] = {
     "kg_kegg_entity_task": ["pairs_hash"],
     "kg_triples": ["content_hash"],
     "kg_canonicalize": ["map_hash", "triples_hash"],
-    "dd_minhash_simhash_check": ["method", "n_total", "n_found", "score"],
+    "dd_minhash_simhash_check": ["method", "cand_hash"],
     "dd_fuzzy_dedup": ["assign_hash"],
     "mm_binary_pipeline": ["features_hash", "resize_hash", "frames_hash"],
     "sim_ann_recall": ["method", "ann_hash"],

@@ -1777,19 +1777,48 @@ def dd_ngram_jaccard(spark, sf_dir):
 # - simhash: fingerprints must be identical when computed from a
 #   differently-partitioned copy of the input — the parallelism-invariance
 #   property every 100TB run depends on (ok = all docs agree).
+def _mhc_root(sf_dir: str) -> str:
+    from .operators import dedup as _dedup_mod
+
+    return _source_hashed_root(
+        "bioie_mhc", sf_dir, (_dedup_mod,), extra=_docs_ident(sf_dir)
+    )
+
+
+def _mhc_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MinHash-LSH candidate pairs once per (sf, source
+    hash) so DuckDB can recompute n_total / n_found / recall from the
+    same pair set the engine produced."""
+    import os
+
+    from .operators.dedup import minhash_lsh_candidates
+
+    def build(scr: str) -> None:
+        docs = load(spark, sf_dir, "documents").repartition(64)
+        minhash_lsh_candidates(docs).select("id_a", "id_b").write.parquet(
+            os.path.join(scr, "cands")
+        )
+
+    return os.path.join(materialize_once(_mhc_root(sf_dir), build), "cands")
+
+
 def _dd_minhash_simhash_oracle() -> str | None:
-    """HYBRID oracle (r5): DuckDB recomputes the minhash row's reference
-    cardinality n_expected — the capped-index exact n-gram-Jaccard pairs at
-    0.8, same formulation as dd_ngram_jaccard's computed oracle — and the
-    ENTIRE simhash-invariance row (on 200 sampled docs the fingerprints
-    must agree perfectly: n_found = n_expected = 200, score 1.0, ok true —
-    a computed expectation, not a pin). Only the LSH-dependent minhash
-    numbers (n_total candidates, n_found, recall score) stay pinned; 'ok'
-    is expected literal true, so a recall drop below the 0.9 floor flips
-    the driver row red."""
+    """HYBRID oracle (r5, deepened late-r5): DuckDB recomputes the minhash
+    row's reference cardinality n_expected — the capped-index exact
+    n-gram-Jaccard pairs at 0.8, same formulation as dd_ngram_jaccard's
+    computed oracle — PLUS n_total / n_found / recall from the
+    materialized candidate-pair parquet, and the ENTIRE simhash-invariance
+    row (on 200 sampled docs the fingerprints must agree perfectly:
+    n_found = n_expected = 200, score 1.0, ok true — a computed
+    expectation, not a pin). Only cand_hash — pinning the candidate-pair
+    multiset — stays captured; 'ok' is expected literal true, so a recall
+    drop below the 0.9 floor flips the driver row red."""
+    import os
+
     pinned = golden_sql("dd_minhash_simhash_check")
     if pinned is None:
         return None
+    glob = os.path.join(_mhc_root(_oracle_sf_dir()), "cands", "*.parquet")
     return f"""
     WITH norm AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
@@ -1811,39 +1840,48 @@ def _dd_minhash_simhash_oracle() -> str | None:
       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     ),
+    expected_pairs AS (
+      SELECT id_a, id_b FROM shared WHERE shared / (na + nb - shared) >= 0.8
+    ),
     expected AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_expected
-      FROM shared WHERE shared / (na + nb - shared) >= 0.8
+      SELECT CAST(count(*) AS BIGINT) AS n_expected FROM expected_pairs
+    ),
+    cands AS (SELECT * FROM read_parquet('{glob}')),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cands),
+    fnd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_found
+      FROM expected_pairs e JOIN cands c
+        ON e.id_a = c.id_a AND e.id_b = c.id_b
     ),
     pin AS (
-      SELECT n_total, n_found, score FROM ({pinned}) AS g
+      SELECT cand_hash FROM ({pinned}) AS g
       WHERE method = 'minhash_lsh_recall@0.8'
     ),
     sample_n AS (
       SELECT CAST(least(200, count(*)) AS BIGINT) AS n FROM documents
     )
     SELECT 'minhash_lsh_recall@0.8' AS method,
-           pin.n_total, expected.n_expected, pin.n_found, pin.score,
-           CAST(0.9 AS DOUBLE) AS floor, true AS ok
-    FROM pin, expected
+           tot.n_total, expected.n_expected, fnd.n_found,
+           round(coalesce(CAST(fnd.n_found AS DOUBLE)
+                          / nullif(expected.n_expected, 0), 1.0), 4) AS score,
+           CAST(0.9 AS DOUBLE) AS floor, true AS ok, pin.cand_hash
+    FROM pin, expected, tot, fnd
     UNION ALL
     SELECT 'simhash_partition_invariance', n, n, n,
-           CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true
+           CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), true, CAST(0 AS BIGINT)
     FROM sample_n
     """
 
 
 @register("dd_minhash_simhash_check", _dd_minhash_simhash_oracle)
 def dd_minhash_simhash_check(spark, sf_dir):
-    from .operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs,
-        simhash,
-    )
+    from .operators.dedup import ngram_jaccard_pairs, simhash
 
     docs = load(spark, sf_dir, "documents").repartition(64)
 
-    cands = minhash_lsh_candidates(docs).select("id_a", "id_b")
+    # LSH candidates come from the materialized parquet (write-once) so the
+    # DuckDB oracle recomputes n_total/n_found/recall from the same pairs
+    cands = spark.read.parquet(_mhc_parquet(spark, sf_dir))
     # reference set = the capped-index exact pairs (same max_df=100 blocking
     # as dd_ngram_jaccard — the uncapped self-join this check originally ran
     # was the single most expensive query in the suite, and the invariant
@@ -1854,7 +1892,10 @@ def dd_minhash_simhash_check(spark, sf_dir):
     found = exact.join(cands, ["id_a", "id_b"], "left_semi")
     recall = F.coalesce(F.try_divide("n_found", "n_expected"), F.lit(1.0))
     mh = (
-        cands.agg(F.count("*").alias("n_total"))
+        cands.agg(
+            F.count("*").alias("n_total"),
+            F.bit_xor(F.xxhash64("id_a", "id_b")).alias("cand_hash"),
+        )
         .crossJoin(exact.agg(F.count("*").alias("n_expected")))
         .crossJoin(found.agg(F.count("*").alias("n_found")))
         .select(
@@ -1863,6 +1904,7 @@ def dd_minhash_simhash_check(spark, sf_dir):
             F.round(recall, 4).alias("score"),
             F.lit(0.9).alias("floor"),
             (recall >= 0.9).alias("ok"),
+            "cand_hash",
         )
     )
 
@@ -1886,6 +1928,7 @@ def dd_minhash_simhash_check(spark, sf_dir):
             F.round(agree, 4).alias("score"),
             F.lit(1.0).alias("floor"),
             (F.col("n_found") == F.col("n_expected")).alias("ok"),
+            F.lit(0).cast("long").alias("cand_hash"),
         )
     )
     return mh.unionByName(sh)
