@@ -459,7 +459,6 @@ def ivfpq_query(
     re-ranked by exact cosine via a tiny vec_id join back to the corpus.
     Deterministic at any parallelism: both ranking windows break ties on
     vec_id."""
-    norm = _l2_normalize(corpus, id_col, vec_col, "vec_id", "nvec")
     qn = _l2_normalize(queries, query_id_col, vec_col, "query_id", "qvec")
     dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
     ranked_cells = F.slice(
@@ -486,8 +485,16 @@ def ivfpq_query(
     shortlist = adc.withColumn("arank", F.row_number().over(w)).filter(
         F.col("arank") <= refine * k
     )
+    # join FIRST, normalize after: only the refine*k shortlist rows pay
+    # the raw-vector read + norm, not the whole corpus — at scale the
+    # exact re-rank is a point lookup, not a second full scan
+    hit_ids = shortlist.select(F.col("vec_id").alias(id_col)).distinct()
+    hit_vecs = _l2_normalize(
+        corpus.join(F.broadcast(hit_ids), id_col),
+        id_col, vec_col, "vec_id", "nvec",
+    )
     rerank = (
-        shortlist.join(norm, "vec_id")
+        shortlist.join(hit_vecs, "vec_id")
         .join(qn.select("query_id", F.col("qvec").alias("qv2")), "query_id")
         .select(
             "query_id", "vec_id", dot(F.col("qv2"), F.col("nvec")).alias("cosine_sim")
