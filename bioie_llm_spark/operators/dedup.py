@@ -447,3 +447,136 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def substring_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 40,
+    stride: int | None = None,
+) -> DataFrame:
+    """Fixed-width character windows for exact-substring dedup (Lee et al.
+    2022, arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better" §4.1 ExactSubstr — public method, window-hash
+    approximation of the suffix-array match at granularity ``w``).
+
+    Returns one row per window: (id_col, pos, whash) where pos is the
+    1-based start offset and whash = md5 of the w-char slice — md5 so a
+    SQL oracle can recompute bit-identically. Only FULL windows are
+    emitted (docs shorter than ``w`` yield none); default stride = w gives
+    non-overlapping tiling, which keeps the index linear in corpus bytes
+    (|text|/w rows — the shape that survives 100 TB) and makes span
+    removal well-defined."""
+    stride = w if stride is None else stride
+    t = F.col(text_col)
+    positions = F.when(
+        F.length(t) >= w,
+        F.sequence(F.lit(1), F.length(t) - (w - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(positions).alias("pos"),
+        F.md5(t.substr(F.col("pos"), F.lit(w))).alias("whash"),
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 40,
+) -> DataFrame:
+    """Per-document duplicated-span statistics under the global
+    first-occurrence-keeps rule: a window occurrence is a duplicate iff an
+    identical window exists at a smaller (id, pos) — so of k copies
+    exactly one (the globally first) is kept, the ExactSubstr keeper
+    semantics. Catches cross-doc boilerplate AND intra-doc repetition.
+
+    Returns df's ids + (n_win, n_dup_win, dup_span_frac) where
+    dup_span_frac = n_dup_win * w / length(text) (0.0 for docs with no
+    windows). One shuffle on the 128-bit window hash (min-struct agg,
+    map-side combinable) + one per-doc agg; no joins wider than the
+    window index."""
+    wins = substring_windows(df, id_col, text_col, w=w)
+    firsts = wins.groupBy("whash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    marked = wins.join(firsts, "whash").withColumn(
+        "__dup",
+        ~(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("pos") == F.col("__first.p"))
+        ),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_win"),
+        F.sum(F.col("__dup").cast("bigint")).alias("n_dup_win"),
+    )
+    return (
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_win"), F.lit(0)).cast("bigint").alias("n_win"),
+            F.coalesce(F.col("n_dup_win"), F.lit(0)).cast("bigint").alias("n_dup_win"),
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        (F.coalesce(F.col("n_dup_win"), F.lit(0)) * w).cast("double"),
+                        F.col("__len").cast("double"),
+                    ),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 40,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop duplicated w-char spans (non-overlapping tiling, global
+    first-occurrence kept) and stitch the survivors back together —
+    the destructive half of ExactSubstr dedup. The tail remainder
+    (length % w chars, never a full window) is always kept, so
+    len(clean_text) = len(text) - w * n_dup_win by construction.
+
+    Per doc the kept start-offsets are collected into one sorted array
+    (bounded by |text|/w ints) and the output is rebuilt with a single
+    expression-side ``aggregate`` over substrings — no Python, no second
+    text shuffle: only offsets move through the groupBy."""
+    wins = substring_windows(df, id_col, text_col, w=w)
+    firsts = wins.groupBy("whash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    kept = (
+        wins.join(firsts, "whash")
+        .filter(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("pos") == F.col("__first.p"))
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__kept"))
+    )
+    t = F.col(text_col)
+    tail_start = (F.floor(F.length(t) / w) * w + 1).cast("int")
+    body = F.aggregate(
+        F.coalesce(F.col("__kept"), F.array().cast("array<int>")),
+        F.lit(""),
+        lambda acc, p: F.concat(acc, t.substr(p, F.lit(w))),
+    )
+    return (
+        df.join(kept, id_col, "left")
+        .withColumn(out_col, F.concat(body, t.substr(tail_start, F.length(t))))
+        .drop("__kept")
+    )

@@ -1669,7 +1669,10 @@ _QUALITY_SQL = f"""
 # 'dedup' rows = every content group (keeper, n_dups); 'clean' rows = the
 # canonical corpus-prep flow (dedup keepers ∩ quality >= 0.62, token
 # counts — _QUALITY_SQL mirrored expression-for-expression so doubles
-# stay bit-identical across engines).
+# stay bit-identical across engines); 'substr' rows = per-doc ExactSubstr
+# duplicated-span stats (Lee et al. 2022, arXiv:2107.06499 — 40-char
+# non-overlapping md5 windows, global first-occurrence-keeps), fully
+# recomputed by DuckDB since both engines agree on md5(substr(...)).
 @register(
     "dd_exact_clean_corpus",
     f"""
@@ -1682,21 +1685,57 @@ _QUALITY_SQL = f"""
     groups AS (
       SELECT content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
       FROM scored GROUP BY content_key
+    ),
+    wins AS (
+      SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), 40)) AS wh
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 39, 0) + 1, 40)) AS pos
+            FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_win,
+             count(*) FILTER (WHERE rn > 1) AS n_dup_win
+      FROM marked GROUP BY doc_id
     )
     SELECT 'dedup' AS kind, keeper_id AS doc_id, content_key, n_dups,
-           CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BIGINT) AS n_tokens
+           CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_win, CAST(NULL AS BIGINT) AS n_dup_win,
+           CAST(NULL AS DOUBLE) AS dup_span_frac
     FROM groups
     UNION ALL
     SELECT 'clean' AS kind, s.doc_id, s.content_key,
-           CAST(NULL AS BIGINT) AS n_dups, s.quality, s.n_tokens
+           CAST(NULL AS BIGINT) AS n_dups, s.quality, s.n_tokens,
+           CAST(NULL AS BIGINT) AS n_win, CAST(NULL AS BIGINT) AS n_dup_win,
+           CAST(NULL AS DOUBLE) AS dup_span_frac
     FROM scored s JOIN groups g ON s.doc_id = g.keeper_id
     WHERE s.quality >= 0.62
+    UNION ALL
+    SELECT 'substr' AS kind, d.doc_id,
+           CAST(NULL AS VARCHAR) AS content_key,
+           CAST(NULL AS BIGINT) AS n_dups,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           coalesce(p.n_win, 0) AS n_win,
+           coalesce(p.n_dup_win, 0) AS n_dup_win,
+           round(coalesce(CAST(p.n_dup_win * 40 AS DOUBLE)
+                          / nullif(length(d.text), 0), 0.0), 4) AS dup_span_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def dd_exact_clean_corpus(spark, sf_dir):
     from .functions.text import quality_score, token_count
-    from .operators.dedup import exact_dedup, normalized_text
+    from .operators.dedup import exact_dedup, normalized_text, substring_dup_stats
 
+    _substr_nulls = [
+        F.lit(None).cast("bigint").alias("n_win"),
+        F.lit(None).cast("bigint").alias("n_dup_win"),
+        F.lit(None).cast("double").alias("dup_span_frac"),
+    ]
     d = load(spark, sf_dir, "documents")
     groups = exact_dedup(d)
     dedup_rows = groups.select(
@@ -1706,6 +1745,7 @@ def dd_exact_clean_corpus(spark, sf_dir):
         "n_dups",
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("bigint").alias("n_tokens"),
+        *_substr_nulls,
     )
     scored = d.select(
         "doc_id",
@@ -1725,9 +1765,21 @@ def dd_exact_clean_corpus(spark, sf_dir):
             F.lit(None).cast("bigint").alias("n_dups"),
             "quality",
             "n_tokens",
+            *_substr_nulls,
         )
     )
-    return dedup_rows.unionByName(clean_rows)
+    substr_rows = substring_dup_stats(d, w=40).select(
+        F.lit("substr").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("content_key"),
+        F.lit(None).cast("bigint").alias("n_dups"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        "n_win",
+        "n_dup_win",
+        "dup_span_frac",
+    )
+    return dedup_rows.unionByName(clean_rows).unionByName(substr_rows)
 
 
 @register(

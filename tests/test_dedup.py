@@ -172,3 +172,67 @@ def test_ngram_jaccard_prefix_exact_equivalence(spark):
     # partition invariance
     again = ngram_jaccard_pairs_prefix(corpus.repartition(7), threshold=0.5)
     assert {(r["id_a"], r["id_b"]): r["jaccard"] for r in again.collect()} == p
+
+
+# --- ExactSubstr window dedup (Lee et al. 2022) ---------------------------
+
+SUBSTR_DOCS = [
+    (0, "A" * 40 + "B" * 40 + "tail"),   # first occurrence of both windows
+    (1, "A" * 40 + "B" * 40 + "xtra"),   # both windows dup of doc 0
+    (2, "C" * 40 + "A" * 40),            # second window dup of doc 0
+    (3, "short"),                        # shorter than w: no windows
+    (4, "D" * 95),                       # intra-doc: D*40 at pos 1 and 41
+]
+
+
+def _sdocs(spark):
+    return spark.createDataFrame(SUBSTR_DOCS, "doc_id long, text string")
+
+
+def test_substring_dup_stats_first_occurrence_keeps(spark):
+    from bioie_llm_spark.operators.dedup import substring_dup_stats
+
+    got = {
+        r["doc_id"]: (r["n_win"], r["n_dup_win"], r["dup_span_frac"])
+        for r in substring_dup_stats(_sdocs(spark), w=40).collect()
+    }
+    assert got[0] == (2, 0, 0.0)          # global firsts are kept
+    assert got[1] == (2, 2, round(80 / 84, 4))
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)          # no full window -> zero stats
+    assert got[4] == (2, 1, round(40 / 95, 4))  # intra-doc repeat flagged
+
+
+def test_substring_dup_stats_parallelism_invariant(spark):
+    from bioie_llm_spark.operators.dedup import substring_dup_stats
+
+    base = substring_dup_stats(_sdocs(spark), w=40).orderBy("doc_id").collect()
+    repart = (
+        substring_dup_stats(_sdocs(spark).repartition(7), w=40)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == repart
+
+
+def test_remove_dup_spans_length_identity(spark):
+    from bioie_llm_spark.operators.dedup import (
+        remove_dup_spans,
+        substring_dup_stats,
+    )
+
+    stats = {
+        r["doc_id"]: r["n_dup_win"]
+        for r in substring_dup_stats(_sdocs(spark), w=40).collect()
+    }
+    for r in remove_dup_spans(_sdocs(spark), w=40).collect():
+        # len(clean) = len(text) - w * n_dup_win, tail always kept
+        assert len(r["clean_text"]) == len(r["text"]) - 40 * stats[r["doc_id"]]
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_dup_spans(_sdocs(spark), w=40).collect()
+    }
+    assert cleaned[0] == SUBSTR_DOCS[0][1]   # no dups -> text unchanged
+    assert cleaned[1] == "xtra"              # only the tail survives
+    assert cleaned[3] == "short"             # window-less doc untouched
+    assert cleaned[4] == "D" * 55            # kept window + 15-char tail
