@@ -481,6 +481,19 @@ def substring_windows(
     )
 
 
+def _window_firsts(wins: DataFrame, id_col: str) -> DataFrame:
+    """Annotate each window occurrence with the globally first (id, pos)
+    occurrence of its hash (min-struct agg, map-side combinable) — the
+    single source of the keeper tie-break both ``substring_dup_stats``
+    and ``remove_dup_spans`` must agree on."""
+    firsts = wins.groupBy("whash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    return wins.join(firsts, "whash")
+
+
 def substring_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -497,14 +510,13 @@ def substring_dup_stats(
     dup_span_frac = n_dup_win * w / length(text) (0.0 for docs with no
     windows). One shuffle on the 128-bit window hash (min-struct agg,
     map-side combinable) + one per-doc agg; no joins wider than the
-    window index."""
+    window index.
+
+    REQUIRES ``id_col`` unique per row (same contract as
+    ``repetition_ratio_grouped``): stats join back on it, and the
+    first-occurrence rule orders occurrences by (id, pos)."""
     wins = substring_windows(df, id_col, text_col, w=w)
-    firsts = wins.groupBy("whash").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "__first"
-        )
-    )
-    marked = wins.join(firsts, "whash").withColumn(
+    marked = _window_firsts(wins, id_col).withColumn(
         "__dup",
         ~(
             (F.col(id_col) == F.col("__first.i"))
@@ -525,7 +537,7 @@ def substring_dup_stats(
             F.coalesce(
                 F.round(
                     F.try_divide(
-                        (F.coalesce(F.col("n_dup_win"), F.lit(0)) * w).cast("double"),
+                        (F.col("n_dup_win") * w).cast("double"),
                         F.col("__len").cast("double"),
                     ),
                     4,
@@ -552,15 +564,11 @@ def remove_dup_spans(
     Per doc the kept start-offsets are collected into one sorted array
     (bounded by |text|/w ints) and the output is rebuilt with a single
     expression-side ``aggregate`` over substrings — no Python, no second
-    text shuffle: only offsets move through the groupBy."""
+    text shuffle: only offsets move through the groupBy. REQUIRES
+    ``id_col`` unique per row (the kept-offset array joins back on it)."""
     wins = substring_windows(df, id_col, text_col, w=w)
-    firsts = wins.groupBy("whash").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "__first"
-        )
-    )
     kept = (
-        wins.join(firsts, "whash")
+        _window_firsts(wins, id_col)
         .filter(
             (F.col(id_col) == F.col("__first.i"))
             & (F.col("pos") == F.col("__first.p"))

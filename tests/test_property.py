@@ -162,3 +162,58 @@ def test_classification_metrics_property(spark):
             assert math.isclose(got[k], v, abs_tol=1e-9), (k, got[k], v, pairs)
 
     check()
+
+
+# --- ExactSubstr window dedup: Spark == pure-Python twin -------------------
+
+def _py_substr_oracle(docs, w):
+    """Pure-Python ExactSubstr twin: global (id, pos)-first occurrence
+    keeps; returns {id: (n_win, n_dup_win)} and {id: clean_text}."""
+    first = {}
+    for i, t in sorted(docs):
+        for p in range(1, len(t) - w + 2, w):
+            first.setdefault(t[p - 1 : p - 1 + w], (i, p))
+    stats, clean = {}, {}
+    for i, t in docs:
+        wins = [(p, t[p - 1 : p - 1 + w]) for p in range(1, len(t) - w + 2, w)]
+        n_dup = sum(1 for p, win in wins if first[win] != (i, p))
+        stats[i] = (len(wins), n_dup)
+        kept = "".join(win for p, win in wins if first[win] == (i, p))
+        clean[i] = kept + t[(len(t) // w) * w :]
+    return stats, clean
+
+
+def test_substring_dedup_property(spark):
+    """Generated corpora over a tiny alphabet (forces cross-doc and
+    intra-doc window collisions, lengths incl. exact multiples of w):
+    stats and span removal match the python twin, and
+    len(clean) = len(text) - w * n_dup_win holds everywhere."""
+    from bioie_llm_spark.operators.dedup import (
+        remove_dup_spans,
+        substring_dup_stats,
+    )
+
+    w = 8
+    cases = []
+
+    @settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.text(alphabet="ab é", min_size=0, max_size=40))
+    def collect(t):
+        cases.append(t)
+
+    collect()
+    docs = list(enumerate(cases))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats_exp, clean_exp = _py_substr_oracle(docs, w)
+    got_stats = {
+        r["doc_id"]: (r["n_win"], r["n_dup_win"], r["dup_span_frac"])
+        for r in substring_dup_stats(df, w=w).collect()
+    }
+    got_clean = {
+        r["doc_id"]: r["clean_text"] for r in remove_dup_spans(df, w=w).collect()
+    }
+    for i, t in docs:
+        n_win, n_dup = stats_exp[i]
+        assert got_stats[i][:2] == (n_win, n_dup), (i, t)
+        assert got_clean[i] == clean_exp[i], (i, t)
+        assert len(got_clean[i]) == len(t) - w * n_dup, (i, t)
