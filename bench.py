@@ -302,6 +302,22 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         .first()
     )
 
+    # --- ExactSubstr span removal on the SAME skewed corpus (late r5):
+    # the boilerplate fifth shares every 40-char window, so the removal
+    # path exercises a genuinely hot window hash; forced via sum(length)
+    # so the expression-side text rebuild is not pruned. The stats half
+    # is timed inside dd_exact_clean_corpus's registry slot.
+    from bioie_llm_spark.operators.dedup import remove_dup_spans
+
+    remove_dup_spans(w_docs, w=40).agg(
+        F.sum(F.length("clean_text"))
+    ).collect()  # warm plan shape
+    timings["dd_substr_remove"] = best_of(
+        lambda: remove_dup_spans(skew_docs, w=40)
+        .agg(F.sum(F.length("clean_text")))
+        .collect()
+    )
+
     # --- salted vs plain aggregation on the SAME skewed corpus (VERDICT r3
     # #8 timing digest; equality itself is driver-checked via
     # kg_hot_predicates.salted_eq_ok). Key = content hash, so the
