@@ -153,7 +153,7 @@ def _wav_parse(payload: bytes | None) -> tuple[int, int, list[int]]:
                 raise NotImplementedError("non-PCM WAVE")
         elif tag == b"data":
             data = chunk
-    if sr is None or data is None or bits != 16 or not nch:
+    if not sr or data is None or bits != 16 or not nch or nch > 2:
         raise NotImplementedError("unsupported WAVE variant")
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: n * 2]))

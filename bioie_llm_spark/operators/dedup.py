@@ -474,10 +474,19 @@ def substring_windows(
         F.length(t) >= w,
         F.sequence(F.lit(1), F.length(t) - (w - 1), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(
+    # Two selects, not one: computing md5 off a lateral alias of the
+    # explode in the same select silently resolves to a pre-existing
+    # input column named "pos" (normal resolution beats lateral-alias
+    # resolution), corrupting every hash — and lateral aliases only
+    # exist on Spark >= 3.4 anyway. Materialize the exploded offsets
+    # under a dunder name first (ADVICE r5 #2).
+    exploded = df.select(
+        F.col(id_col), t.alias("__sw_text"), F.explode(positions).alias("__sw_pos")
+    )
+    return exploded.select(
         F.col(id_col),
-        F.explode(positions).alias("pos"),
-        F.md5(t.substr(F.col("pos"), F.lit(w))).alias("whash"),
+        F.col("__sw_pos").alias("pos"),
+        F.md5(F.col("__sw_text").substr(F.col("__sw_pos"), F.lit(w))).alias("whash"),
     )
 
 
@@ -588,3 +597,220 @@ def remove_dup_spans(
         .withColumn(out_col, F.concat(body, t.substr(tail_start, F.length(t))))
         .drop("__kept")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask: str = "05",
+) -> DataFrame:
+    """Content-defined chunks for offset-invariant exact-substring dedup
+    (VERDICT r5 "Next round" #2). Fixed tiling from position 1
+    (``substring_windows``) misses a duplicated passage whose copies start
+    at different offsets mod w; content-defined chunking (the public CDC
+    technique from LBFS/rsync-family dedup, Muthitacharoen et al. SOSP'01)
+    cuts where a local k-gram fingerprint hits a mask, so boundaries
+    depend only on LOCAL content and the interior chunks of a repeated
+    passage align regardless of where the passage sits in each document —
+    the offset-invariance of the Lee et al. 2022 suffix-array ExactSubstr
+    semantics this family approximates.
+
+    A position i (1-based, 2 <= i <= len-k+1) is a cut iff the first two
+    hex chars of md5 of the k-gram starting at i are <= ``mask`` —
+    md5-on-substring so a SQL oracle recomputes cut points bit-for-bit
+    (p = 6/256 for mask '05' -> mean chunk ~43 chars, matching the w=40
+    window granularity). Chunk boundaries = [1] + cuts + [len+1]; chunks
+    tile the text EXACTLY (no tail remainder, unlike the fixed windows).
+
+    Returns one row per chunk: (id_col, pos, clen, chash) with chash =
+    md5 of the chunk text. Everything up to the final explode is
+    per-row higher-order-function work (sequence/filter/zip_with inside
+    whole-stage codegen) — zero shuffle; output rows ~ |text|/43, linear
+    in corpus bytes, the shape that survives 100 TB."""
+    n_mask = len(mask)
+    t = F.col(text_col)
+    n = F.length(t)
+    cand = F.when(
+        n >= k + 1, F.sequence(F.lit(2), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        cand,
+        lambda i: F.md5(t.substr(i, F.lit(k))).substr(F.lit(1), F.lit(n_mask))
+        <= F.lit(mask),
+    )
+    bounds = F.concat(
+        F.array(F.lit(1)), cuts, F.array((n + 1).cast("int"))
+    )
+    nb = F.size(bounds)
+    chunks = F.zip_with(
+        F.slice(bounds, 1, nb - 1),
+        F.slice(bounds, 2, nb - 1),
+        lambda a, b: F.struct(a.alias("pos"), (b - a).alias("clen")),
+    )
+    # Same two-select shape as substring_windows: materialize the exploded
+    # struct under a dunder alias before hashing, so a pre-existing
+    # pos/clen input column can never shadow the chunk fields.
+    exploded = df.select(
+        F.col(id_col), t.alias("__cdc_text"), F.explode(chunks).alias("__ck")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("__ck.pos").alias("pos"),
+        F.col("__ck.clen").alias("clen"),
+        F.md5(
+            F.col("__cdc_text").substr(F.col("__ck.pos"), F.col("__ck.clen"))
+        ).alias("chash"),
+    ).filter(F.col("clen") > 0)
+
+
+def _cdc_marked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    mask: str,
+    min_dedup_len: int,
+) -> DataFrame:
+    """Chunk + mark pass shared by ``cdc_dup_stats`` and
+    ``cdc_remove_dup_spans`` (both must agree on the keeper rule).
+
+    A chunk is a BASE duplicate iff clen >= min_dedup_len and an identical
+    chunk exists at a smaller (id, pos) — tiny chunks are exempt because
+    short common strings ("the ") collide across unrelated documents, the
+    same reason Lee et al. 2022 use a 50-char match threshold. A tiny
+    REPEATED chunk is then RESCUED as duplicate iff an adjacent chunk in
+    the same document is a base duplicate (single lag/lead pass — the
+    adjacent-match merge of Lee et al.'s span stitching): inside a long
+    duplicated passage the content-defined tiny chunks repeat verbatim
+    with the passage, and exempting them would under-count ~8% of
+    duplicated bytes, while a lone common tiny chunk in an otherwise
+    unique doc has no base-dup neighbor and stays kept.
+
+    Identical hash implies identical content hence identical length, so
+    the first-occurrence rule over ALL chunks equals the rule over
+    eligible-only chunks for eligible chunks. The doc-keyed window and
+    the per-doc agg that callers run next share one partitioning."""
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(df, id_col, text_col, k=k, mask=mask)
+    firsts = chunks.groupBy("chash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    rep = ~(
+        (F.col(id_col) == F.col("__first.i")) & (F.col("pos") == F.col("__first.p"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        chunks.join(firsts, "chash")
+        .withColumn("__rep", rep)
+        .withColumn("__base", (F.col("clen") >= min_dedup_len) & F.col("__rep"))
+        .withColumn(
+            "__dup",
+            F.col("__base")
+            | (
+                F.col("__rep")
+                & (
+                    F.coalesce(F.lag("__base").over(w), F.lit(False))
+                    | F.coalesce(F.lead("__base").over(w), F.lit(False))
+                )
+            ),
+        )
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask: str = "05",
+    min_dedup_len: int = 20,
+) -> DataFrame:
+    """Per-document duplicated-span statistics over content-defined chunks
+    under the global first-occurrence-keeps rule (CDC analogue of
+    ``substring_dup_stats``; offset-invariant — see ``cdc_chunks``).
+
+    Chunks shorter than ``min_dedup_len`` are dedup-exempt unless rescued
+    by an adjacent base duplicate (see ``_cdc_marked``: tiny chunks
+    collide across unrelated documents, but inside a duplicated passage
+    they repeat with it). Returns df's ids +
+    (n_chunk, n_dup_chunk, dup_chars, dup_span_frac) where dup_span_frac
+    = dup_chars / length(text) — exact, since CDC chunks tile the text.
+
+    One shuffle on the 128-bit chunk hash (min-struct agg, map-side
+    combinable) + one doc-keyed window+agg stage. REQUIRES ``id_col``
+    unique per row."""
+    marked = _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunk"),
+        F.sum(F.col("__dup").cast("bigint")).alias("n_dup_chunk"),
+        F.sum(F.when(F.col("__dup"), F.col("clen")).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("__len"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_chunk"), F.lit(0)).cast("bigint").alias("n_chunk"),
+            F.coalesce(F.col("n_dup_chunk"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_chunk"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.col("dup_chars").cast("double"),
+                        F.col("__len").cast("double"),
+                    ),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+def cdc_remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask: str = "05",
+    min_dedup_len: int = 20,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop duplicated content-defined chunks (global first-occurrence
+    kept; dedup-exempt chunks under ``min_dedup_len`` always kept) and
+    stitch survivors back together — the destructive, offset-invariant
+    half of ExactSubstr dedup. Because chunks tile the text exactly,
+    len(clean_text) = len(text) - dup_chars by construction.
+
+    Per doc the kept (pos, clen) pairs are collected into one sorted
+    array (bounded by |text|/~43 structs) and the output is rebuilt with
+    a single expression-side ``aggregate`` over substrings — no Python,
+    no second text shuffle. REQUIRES ``id_col`` unique per row."""
+    kept = (
+        _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
+        .filter(~F.col("__dup"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("clen")))
+            ).alias("__kept")
+        )
+    )
+    t = F.col(text_col)
+    body = F.aggregate(
+        F.coalesce(
+            F.col("__kept"), F.array().cast("array<struct<pos:int,clen:int>>")
+        ),
+        F.lit(""),
+        lambda acc, s: F.concat(acc, t.substr(s["pos"], s["clen"])),
+    )
+    return df.join(kept, id_col, "left").withColumn(out_col, body).drop("__kept")
