@@ -429,7 +429,10 @@ def ivfpq_index(
     (n_centroids*dim + m*ks*dim/m floats). Vectors are L2-normalized so
     ADC inner product estimates cosine directly."""
     norm = _l2_normalize(corpus, id_col, vec_col, "vec_id", "nvec")
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None or first["d"] is None or first["d"] <= 0:
+        raise ValueError("ivfpq_index: empty corpus or null embedding column")
+    dim = first["d"]
     cents = ivf_centroids(norm, n_centroids, "vec_id", "nvec")
     books = pq_codebooks(norm, dim, m, ks, "vec_id", "nvec")
     enc = norm.select(

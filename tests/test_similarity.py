@@ -265,3 +265,24 @@ def test_ivf_centroids_small_corpus(spark):
     )
     out = ivf_topk(emb, q, k=3, n_centroids=16, n_probe=4)
     assert out.count() > 0
+
+
+def test_ivfpq_index_empty_corpus_raises(spark):
+    """ADVICE r5: an empty corpus must raise a clear ValueError, not a
+    TypeError from subscripting None during dim inference."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from bioie_llm_spark.operators.similarity import ivfpq_index
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    with _pytest.raises(ValueError, match="empty corpus"):
+        ivfpq_index(empty)
