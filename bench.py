@@ -343,11 +343,19 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             "prompt"
         ),
     )
+    # 4x-replicated batch (VERDICT r5 #5): the slot was sub-second at
+    # sf0.1, so prompts/sec graded startup jitter, not dispatch
+    # throughput; each prompt is replicated under 4 distinct entities and
+    # the slot takes best-of-3 so variance sits inside the jitter band
+    prompts = prompts.withColumn(
+        "__rep", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+    ).select(F.concat_ws("#", "entity", "__rep").alias("entity"), "prompt")
     n_gen = prompts.count()  # one row per prompt, invariant across runs
     gen_sec = best_of(
         lambda: mock_generate(
             prompts, generate_fn=lambda ps: [p + " none." for p in ps]
-        ).count()
+        ).count(),
+        runs=3,
     )
     timings["kg_generate_fn"] = gen_sec
 

@@ -1,0 +1,567 @@
+"""Pure-stdlib baseline-sequential JPEG codec (VERDICT r5 #6).
+
+The one image format real web corpora actually contain rode the declared
+stub fallback until now. This module implements the public ITU T.81
+baseline process with nothing but ``math``/``struct``:
+
+- ``jpeg_parse(payload) -> (w, h, rgb)``: general baseline decoder —
+  8-bit samples, 1 (grayscale) or 3 (YCbCr) components, any sampling
+  factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), DQT/DHT tables read from
+  the stream, APPn/COM skipped. Progressive (SOF2+), arithmetic coding,
+  12-bit precision and restart intervals raise NotImplementedError so
+  the caller's per-row stub fallback keeps the documented
+  "exotic payload never hard-fails the pipeline" contract.
+- ``jpeg_encode(w, h, rgb, subsampling="444")``: fixture/re-encode
+  writer — standard Annex K Huffman tables, flat all-ones quant tables
+  (the fixtures are md5-noise pixels, the worst case for JPEG; flat
+  tables keep round-trip error to DCT float rounding, ±2 per channel),
+  4:4:4 or 4:2:0.
+- ``jpeg_header_hex(w, h)``: the byte-exact marker prefix (SOI..SOS) the
+  encoder emits for a given geometry — content-independent because the
+  tables are fixed, so BOTH the Spark classification expression and the
+  DuckDB oracle can classify a "real resized JPEG" by prefix without
+  decoding (same pattern as the PPM/PNG/BMP header constants).
+
+The reference repo has no media path at all (SURVEY.md §2 multimodal is
+an engine extension); the format knowledge here is the public T.81 spec.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --- constants (ITU T.81, public) ------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# fixture quant tables: flat ones — md5-noise pixels are all high
+# frequency, real Annex-K tables would crush them and round-trip tests
+# could not bound the error; the DECODER reads whatever tables the
+# stream declares, so it stays general
+_Q_FLAT = [1] * 64
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)] for x in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct(block: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cxu = _COS[x][u]
+                row = x * 8
+                for y in range(8):
+                    s += block[row + y] * cxu * _COS[y][v]
+            out[u * 8 + v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _idct(coef: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cxu = _COS[x][u] * _C[u]
+                row = u * 8
+                for v in range(8):
+                    s += coef[row + v] * cxu * _C[v] * _COS[y][v]
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC amplitude, T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG entropy data")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:  # a real marker (EOI under padding) — emit 1s
+                    byte = 0xFF
+                    self.pos -= 1
+                    self.data = self.data[: self.pos]  # stop consuming
+            self._acc = byte
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# --- encoder ----------------------------------------------------------------
+
+
+def _encode_block(
+    w: _BitWriter,
+    samples: list[float],
+    quant: list[int],
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    coefs = _fdct([s - 128.0 for s in samples])
+    q = [int(round(coefs[ZIGZAG[i]] / quant[i])) for i in range(64)]
+    diff = q[0] - pred
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if q[i] != 0:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(q[i])
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return q[0]
+
+
+def _component_block(plane: list[int], pw: int, ph: int, bx: int, by: int) -> list[float]:
+    """8x8 block at block coords (bx, by), edge-replicated past the edge."""
+    out = []
+    for y in range(8):
+        sy = min(by * 8 + y, ph - 1)
+        row = sy * pw
+        for x in range(8):
+            sx = min(bx * 8 + x, pw - 1)
+            out.append(float(plane[row + sx]))
+    return out
+
+
+def _markers(w: int, h: int, subsampling: str) -> bytes:
+    """SOI..SOS prefix — fixed tables, so content-independent."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, tbl in ((0, _Q_FLAT), (1, _Q_FLAT)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(tbl)
+    # SOF0: baseline, 8-bit, 3 components
+    y_h, y_v = (2, 2) if subsampling == "420" else (1, 1)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack(">BBB", 1, (y_h << 4) | y_v, 0)
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    for marker_class, tid, (bits, vals) in (
+        (0, 0, _DC_LUM),
+        (1, 0, _AC_LUM),
+        (0, 1, _DC_CHR),
+        (1, 1, _AC_CHR),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), (marker_class << 4) | tid
+        )
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack(">BB", 1, 0x00)
+    out += struct.pack(">BB", 2, 0x11)
+    out += struct.pack(">BB", 3, 0x11)
+    out += struct.pack(">BBB", 0, 63, 0)
+    return bytes(out)
+
+
+def jpeg_header_hex(w: int, h: int, subsampling: str = "444") -> str:
+    """Hex of the byte-exact marker prefix jpeg_encode emits for this
+    geometry — used by the mm pipeline (Spark AND DuckDB oracle) to
+    classify real resized JPEGs by prefix, like the PPM/PNG/BMP header
+    constants."""
+    return _markers(w, h, subsampling).hex().upper()
+
+
+def jpeg_encode(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
+    """Baseline-sequential JFIF-less JPEG: fixed flat quant tables,
+    standard Annex K Huffman tables, 4:4:4 (default) or 4:2:0."""
+    assert len(rgb) == w * h * 3, "rgb length must be w*h*3"
+    assert subsampling in ("444", "420")
+    n = w * h
+    ys = [0] * n
+    cbs = [0] * n
+    crs = [0] * n
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        ys[i] = min(255, max(0, int(round(yy))))
+        cbs[i] = min(255, max(0, int(round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b))))
+        crs[i] = min(255, max(0, int(round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b))))
+
+    bw = _BitWriter()
+    dc_l = _huff_codes(*_DC_LUM)
+    ac_l = _huff_codes(*_AC_LUM)
+    dc_c = _huff_codes(*_DC_CHR)
+    ac_c = _huff_codes(*_AC_CHR)
+    preds = [0, 0, 0]
+
+    if subsampling == "444":
+        bx_n = (w + 7) // 8
+        by_n = (h + 7) // 8
+        for by in range(by_n):
+            for bx in range(bx_n):
+                for ci, (plane, dc, ac) in enumerate(
+                    ((ys, dc_l, ac_l), (cbs, dc_c, ac_c), (crs, dc_c, ac_c))
+                ):
+                    preds[ci] = _encode_block(
+                        bw,
+                        _component_block(plane, w, h, bx, by),
+                        _Q_FLAT,
+                        dc,
+                        ac,
+                        preds[ci],
+                    )
+    else:  # 420: MCU = 16x16 -> 4 Y blocks + 1 Cb + 1 Cr (2x2 box mean)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+
+        def _down(plane: list[int]) -> list[int]:
+            out = [0] * (cw * ch)
+            for yy in range(ch):
+                for xx in range(cw):
+                    acc = cnt = 0
+                    for dy in range(2):
+                        for dx in range(2):
+                            sy, sx = yy * 2 + dy, xx * 2 + dx
+                            if sy < h and sx < w:
+                                acc += plane[sy * w + sx]
+                                cnt += 1
+                    out[yy * cw + xx] = int(round(acc / cnt))
+            return out
+
+        cb_d, cr_d = _down(cbs), _down(crs)
+        mcu_x = (w + 15) // 16
+        mcu_y = (h + 15) // 16
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                for dy in range(2):
+                    for dx in range(2):
+                        preds[0] = _encode_block(
+                            bw,
+                            _component_block(ys, w, h, mx * 2 + dx, my * 2 + dy),
+                            _Q_FLAT,
+                            dc_l,
+                            ac_l,
+                            preds[0],
+                        )
+                preds[1] = _encode_block(
+                    bw, _component_block(cb_d, cw, ch, mx, my), _Q_FLAT, dc_c, ac_c, preds[1]
+                )
+                preds[2] = _encode_block(
+                    bw, _component_block(cr_d, cw, ch, mx, my), _Q_FLAT, dc_c, ac_c, preds[2]
+                )
+
+    bw.flush()
+    return _markers(w, h, subsampling) + bytes(bw.buf) + b"\xff\xd9"
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    codes = _huff_codes(bits, vals)
+    return {(length, code): sym for sym, (code, length) in codes.items()}
+
+
+def jpeg_parse(payload: bytes | None) -> tuple[int, int, bytes]:
+    """Decode a baseline-sequential JPEG to (w, h, raw RGB). Anything the
+    baseline path can't express raises NotImplementedError (stub
+    fallback), never a hard failure."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    data = payload
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise NotImplementedError("JPEG with no scan data")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per marker)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                quant[tid] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, tid)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError("non-8-bit or CMYK JPEG")
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise NotImplementedError("JPEG sampling factor > 2")
+                comps.append((cid, ch, cv, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan: list[tuple[int, int, int]] = []  # (comp idx, dc tid, ac tid)
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(
+                    (j for j, c in enumerate(comps) if c[0] == cid), None
+                )
+                if idx is None:
+                    raise NotImplementedError("JPEG scan references unknown component")
+                scan.append((idx, tids >> 4, tids & 0x0F))
+            return _decode_scan(data, pos + seglen, w, h, comps, scan, quant, huff)
+        # APPn / COM / others: skip
+        pos += seglen
+    raise NotImplementedError("truncated JPEG")
+
+
+def _decode_scan(data, pos, w, h, comps, scan, quant, huff) -> tuple[int, int, bytes]:
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("empty JPEG frame")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes: list[list[int]] = []
+    pdims: list[tuple[int, int]] = []
+    for _, ch, cv, _ in comps:
+        pw, ph = mcu_x * ch * 8, mcu_y * cv * 8
+        planes.append([0] * (pw * ph))
+        pdims.append((pw, ph))
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for idx, dc_tid, ac_tid in scan:
+                _, ch, cv, tq = comps[idx]
+                if tq not in quant:
+                    raise NotImplementedError("JPEG missing quant table")
+                dc_tab = huff.get((0, dc_tid))
+                ac_tab = huff.get((1, ac_tid))
+                if dc_tab is None or ac_tab is None:
+                    raise NotImplementedError("JPEG missing Huffman table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = [0] * 64
+                        size = _decode_huff(reader, dc_tab)
+                        diff = _extend(reader.receive(size), size)
+                        preds[idx] += diff
+                        zz[0] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.receive(size), size)
+                            k += 1
+                        q = quant[tq]
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = float(zz[i] * q[i])
+                        px = _idct(coef)
+                        pw, _ = pdims[idx]
+                        ox = (mx * ch + bx) * 8
+                        oy = (my * cv + by) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            for xx in range(8):
+                                v = int(round(px[yy * 8 + xx] + 128.0))
+                                planes[idx][row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    rgb = bytearray(w * h * 3)
+    if len(comps) == 1:
+        pw, _ = pdims[0]
+        for y in range(h):
+            for x in range(w):
+                g = planes[0][y * pw + x]
+                i = (y * w + x) * 3
+                rgb[i] = rgb[i + 1] = rgb[i + 2] = g
+        return w, h, bytes(rgb)
+    for y in range(h):
+        for x in range(w):
+            samples = []
+            for idx, (_, ch, cv, _) in enumerate(comps):
+                pw, _ = pdims[idx]
+                sx = x * ch // hmax
+                sy = y * cv // vmax
+                samples.append(planes[idx][sy * pw + sx])
+            yy, cb, cr = samples[0], samples[1] - 128.0, samples[2] - 128.0
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136286 * cb - 0.714136286 * cr))
+            b = int(round(yy + 1.772 * cb))
+            i = (y * w + x) * 3
+            rgb[i] = 0 if r < 0 else (255 if r > 255 else r)
+            rgb[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            rgb[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, bytes(rgb)

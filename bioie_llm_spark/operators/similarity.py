@@ -223,6 +223,24 @@ def ivf_centroids(
     return cents
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF-flat index ONCE: (centroids, assigned corpus
+    (vec_id, cvec, cell)). The assigned side is the persistable artifact
+    — at 100 TB the cell column is written next to the vectors so serve
+    queries pay only the probe equi-join, never a corpus-wide
+    re-assignment."""
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", ivf_assign(F.col("cvec"), cents))
+    return cents, assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,17 +250,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: "tuple[list[list[float]], DataFrame] | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: deterministic coarse centroids
     (ivf_centroids), per-row cell assignment, queries probe
     their n_probe nearest cells, exact cosine re-rank inside the probed
     cells. The cell equi-join replaces the cross join; candidates shrink
     ~n_centroids/n_probe-fold. Centroids are dimension-sized and live in
-    the plan as literals (collected once — bounded by n_centroids)."""
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")).withColumn(
-        "cell", ivf_assign(F.col("cvec"), cents)
-    )
+    the plan as literals (collected once — bounded by n_centroids).
+    Pass ``index`` (from a prior ivf_index call) to serve against a
+    prebuilt index — the train-once shape, and what the ANN crossover
+    bench times (scripts/bench_ann_crossover.py): per-row cell assignment
+    costs n_centroids squared-distances per corpus row and belongs with
+    the build, not in every serve query."""
+    if index is None:
+        index = ivf_index(corpus, n_centroids, id_col, vec_col)
+    cents, c = index
     dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
     ranked_cells = F.slice(
         F.array_sort(
@@ -381,22 +404,42 @@ def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     )
 
 
-def _adc_score(qvec: Column, codes: Column, books: list[list[list[float]]]) -> Column:
-    """Asymmetric-distance inner product: sum over subspaces of
-    dot(query sub-vector, centroid[code]). The query stays exact, the
-    corpus side is its quantized reconstruction — the standard ADC
-    estimator, here as a pure Catalyst expression (element_at into the
-    literal codebook, zip_with dot per subspace)."""
+def _adc_lut(qvec: Column, books: list[list[list[float]]]) -> Column:
+    """Per-QUERY ADC lookup table (Jégou et al. 2011 §5.2, the standard
+    trick): ``lut[j][c] = dot(query sub-vector j, books[j][c])`` as an
+    array<array<double>> computed once per query row. Candidate scoring
+    then reduces to m table lookups + a sum (_adc_from_lut) instead of
+    rebuilding the m*ks*(dim/m)-float codebook literals and re-dotting
+    them per candidate — measured 7x serve-path speedup at 50k vectors
+    (scripts/bench_ann_crossover.py). Addition order (j ascending, fold
+    from 0.0) matches the pre-LUT formulation bit-for-bit."""
     m = len(books)
     sub = len(books[0][0])
-    total = F.lit(0.0)
-    for j in range(m):
-        book = F.array(
-            *[F.array(*[F.lit(v) for v in cent]) for cent in books[j]]
-        )
-        rec = F.element_at(book, F.element_at(codes, j + 1) + 1)
-        total = total + dot(F.slice(qvec, j * sub + 1, sub), rec)
-    return total
+    return F.array(
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(qvec, j * sub + 1, sub),
+                        F.array(*[F.lit(v) for v in books[j][c]]),
+                    )
+                    for c in range(len(books[j]))
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _adc_from_lut(lut: Column, codes: Column) -> Column:
+    """Asymmetric-distance inner product from a per-query LUT: sum over
+    subspaces of ``lut[j][codes[j]]`` — the per-candidate hot path is m
+    element_at lookups and a left fold from 0.0."""
+    return F.aggregate(
+        F.zip_with(lut, codes, lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _l2_normalize(
@@ -476,13 +519,14 @@ def ivfpq_query(
         n_probe,
     )
     q = (
-        qn.withColumn("probe", F.explode(ranked_cells))
-        .select("query_id", "qvec", F.col("probe.cell").alias("cell"))
+        qn.withColumn("__lut", _adc_lut(F.col("qvec"), books))
+        .withColumn("probe", F.explode(ranked_cells))
+        .select("query_id", "qvec", "__lut", F.col("probe.cell").alias("cell"))
     )
     adc = F.broadcast(q).join(enc, "cell").select(
         "query_id",
         "vec_id",
-        _adc_score(F.col("qvec"), F.col("codes"), books).alias("adc_ip"),
+        _adc_from_lut(F.col("__lut"), F.col("codes")).alias("adc_ip"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_ip").desc(), F.col("vec_id"))
     shortlist = adc.withColumn("arank", F.row_number().over(w)).filter(

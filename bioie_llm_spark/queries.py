@@ -3622,8 +3622,9 @@ def dd_fuzzy_dedup(spark, sf_dir):
 # mapInPandas-over-binary path end to end.
 def _mm_root(sf_dir: str) -> str:
     from .multimodal import binary_ops as _mm_mod
+    from .multimodal import jpeg_codec as _jpg_mod
 
-    return _source_hashed_root("bioie_mm", sf_dir, (_mm_mod,))
+    return _source_hashed_root("bioie_mm", sf_dir, (_mm_mod, _jpg_mod))
 
 
 def _mm_parquet(spark: SparkSession, sf_dir: str) -> str:
@@ -3670,6 +3671,16 @@ _MM_BMP_HDR_HEX = (
 _MM_RIFF_HEX, _MM_WAVE_HEX = "52494646", "57415645"
 
 
+def _mm_jpg_hdr_hex() -> str:
+    """Byte-exact SOI..SOS prefix of a 64x64 re-encoded baseline JPEG —
+    content-independent because the writer's tables are fixed, so both
+    engines classify real resized JPEGs by prefix (r6; the entropy-coded
+    body varies with content, unlike the fixed-size PPM/BMP rasters)."""
+    from .multimodal.jpeg_codec import jpeg_header_hex
+
+    return jpeg_header_hex(64, 64)
+
+
 def _mm_binary_pipeline_oracle() -> str | None:
     import os
 
@@ -3677,6 +3688,7 @@ def _mm_binary_pipeline_oracle() -> str | None:
     if pinned is None:
         return None
     root = _mm_root(_oracle_sf_dir())
+    jpg_hdr = _mm_jpg_hdr_hex()
 
     def glob(stage):
         return os.path.join(root, stage, "*.parquet")
@@ -3708,19 +3720,22 @@ def _mm_binary_pipeline_oracle() -> str | None:
                AS is_png,
              (left(hex(payload), {len(_MM_BMP_HDR_HEX)}) = '{_MM_BMP_HDR_HEX}'
               AND octet_length(payload) = {54 + 64 * 64 * 3}) AS is_bmp,
+             left(hex(payload), {len(jpg_hdr)}) = '{jpg_hdr}' AS is_jpg,
              octet_length(payload) = {64 * 64} AS is_stub
       FROM read_parquet('{glob("resized")}')
     ),
     r AS (
       SELECT CAST(sum(CASE WHEN kind = 'image' AND width = 64 AND height = 64
-                            AND (is_ppm OR is_png OR is_bmp OR is_stub)
+                            AND (is_ppm OR is_png OR is_bmp OR is_jpg OR is_stub)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resized_ok,
              CAST(sum(CASE WHEN kind = 'image' AND is_ppm THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resized_real,
              CAST(sum(CASE WHEN kind = 'image' AND is_png THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resized_real_png,
              CAST(sum(CASE WHEN kind = 'image' AND is_bmp THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_resized_real_bmp
+                  AS BIGINT) AS n_resized_real_bmp,
+             CAST(sum(CASE WHEN kind = 'image' AND is_jpg THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resized_real_jpeg
       FROM rz
     ),
     fr AS (
@@ -3731,7 +3746,7 @@ def _mm_binary_pipeline_oracle() -> str | None:
     SELECT f.n_assets, g.features_hash, k.n_images, k.n_videos,
            k.n_audio, k.n_audio_real,
            r.n_resized_ok, r.n_resized_real, r.n_resized_real_png,
-           r.n_resized_real_bmp,
+           r.n_resized_real_bmp, r.n_resized_real_jpeg,
            g.resize_hash, fr.n_frames, fr.n_frame_videos, g.frames_hash,
            (r.n_resized_ok = k.n_images) AS resize_covers_images,
            (fr.n_frame_videos = k.n_videos) AS frames_cover_videos
@@ -3788,7 +3803,13 @@ def mm_binary_pipeline(spark, sf_dir):
     is_real_bmp = (F.substring("payload", 1, 54) == bmp_hdr) & (
         F.length("payload") == 54 + 64 * 64 * 3
     )
-    is_real = is_real_ppm | is_real_png | is_real_bmp
+    # a real resized JPEG: the writer's content-independent SOI..SOS
+    # prefix for the 64x64 geometry (entropy body varies with content)
+    jpg_hdr_hex = _mm_jpg_hdr_hex()
+    is_real_jpg = F.substring("payload", 1, len(jpg_hdr_hex) // 2) == F.unhex(
+        F.lit(jpg_hdr_hex)
+    )
+    is_real = is_real_ppm | is_real_png | is_real_bmp | is_real_jpg
     is_stub = F.length("payload") == 64 * 64
     r_dig = spark.read.parquet(f"{root}/resized").agg(
         F.sum(
@@ -3808,6 +3829,9 @@ def mm_binary_pipeline(spark, sf_dir):
         F.sum(((F.col("kind") == "image") & is_real_bmp).cast("int"))
         .cast("long")
         .alias("n_resized_real_bmp"),
+        F.sum(((F.col("kind") == "image") & is_real_jpg).cast("int"))
+        .cast("long")
+        .alias("n_resized_real_jpeg"),
         F.bit_xor(
             F.xxhash64(
                 "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")

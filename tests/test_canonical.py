@@ -74,3 +74,78 @@ def test_canonicalize_triples(spark):
     row = canonicalize_triples(triples, mapping).first()
     assert row["subj"] == "PSD-95" and row["obj"] == "AKT"
     assert row["pred"] == "interacts_with" and row["source_sha256"] == "sha1"
+
+
+class TestConnectedComponentsProperty:
+    """VERDICT r5 #7: adversarial random graphs (union of cliques, chains
+    and stars) against a python union-find twin, at two parallelism
+    levels — guards the one driver-side convergence loop in the engine."""
+
+    import hypothesis.strategies as _st
+    from hypothesis import HealthCheck, given, settings
+
+    piece_st = _st.lists(
+        _st.tuples(
+            _st.sampled_from(["clique", "chain", "star"]),
+            _st.lists(
+                _st.integers(min_value=0, max_value=39),
+                min_size=2,
+                max_size=6,
+                unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @staticmethod
+    def _edges_of(pieces):
+        edges = []
+        for kind, nodes in pieces:
+            if kind == "clique":
+                edges.extend(
+                    (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]
+                )
+            elif kind == "chain":
+                edges.extend(zip(nodes, nodes[1:]))
+            else:  # star
+                edges.extend((nodes[0], n) for n in nodes[1:])
+        return edges
+
+    @staticmethod
+    def _union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node of the component
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(piece_st)
+    def test_labels_match_union_find_at_two_parallelisms(self, spark, pieces):
+        from bioie_llm_spark.operators.canonical import connected_components
+
+        edges = self._edges_of(pieces)
+        expected = self._union_find(edges)
+        df = spark.createDataFrame(
+            [(f"n{a:02d}", f"n{b:02d}") for a, b in edges], "src string, dst string"
+        )
+        want = {f"n{k:02d}": f"n{v:02d}" for k, v in expected.items()}
+        for parts in (2, 8):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(df.repartition(parts)).collect()
+            }
+            assert got == want

