@@ -343,12 +343,14 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             "prompt"
         ),
     )
-    # 4x-replicated batch (VERDICT r5 #5): the slot was sub-second at
+    # 16x-replicated batch (VERDICT r5 #5): the slot was sub-second at
     # sf0.1, so prompts/sec graded startup jitter, not dispatch
-    # throughput; each prompt is replicated under 4 distinct entities and
-    # the slot takes best-of-3 so variance sits inside the jitter band
+    # throughput; each prompt is replicated under 16 distinct entities
+    # (a 4x first cut still showed ~20% run-to-run variance on a 0.7s
+    # slot) and the slot takes best-of-3 so variance sits inside the
+    # jitter band
     prompts = prompts.withColumn(
-        "__rep", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+        "__rep", F.explode(F.array(*[F.lit(i) for i in range(16)]))
     ).select(F.concat_ws("#", "entity", "__rep").alias("entity"), "prompt")
     n_gen = prompts.count()  # one row per prompt, invariant across runs
     gen_sec = best_of(

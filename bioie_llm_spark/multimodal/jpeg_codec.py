@@ -7,9 +7,10 @@ baseline process with nothing but ``math``/``struct``:
 - ``jpeg_parse(payload) -> (w, h, rgb)``: general baseline decoder —
   8-bit samples, 1 (grayscale) or 3 (YCbCr) components, any sampling
   factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), DQT/DHT tables read from
-  the stream, APPn/COM skipped. Progressive (SOF2+), arithmetic coding,
-  12-bit precision and restart intervals raise NotImplementedError so
-  the caller's per-row stub fallback keeps the documented
+  the stream, DRI/RSTn restart intervals honored (predictor reset +
+  byte realign), APPn/COM skipped. Progressive (SOF2+), arithmetic
+  coding and 12-bit precision raise NotImplementedError so the caller's
+  per-row stub fallback keeps the documented
   "exotic payload never hard-fails the pipeline" contract.
 - ``jpeg_encode(w, h, rgb, subsampling="444")``: fixture/re-encode
   writer — standard Annex K Huffman tables, flat all-ones quant tables
@@ -207,6 +208,29 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4): padding
+        bits in the current byte are dropped, then the two marker bytes.
+        Raises NotImplementedError when the expected marker is absent —
+        the malformed-stream path, routed to the stub fallback."""
+        self._nbits = 0
+        # an all-ones padding byte is 0xFF and gets a stuffed 0x00 — skip
+        # the pair before the marker
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise NotImplementedError("JPEG missing expected restart marker")
+
 
 def _extend(bits: int, size: int) -> int:
     if size == 0:
@@ -272,11 +296,13 @@ def _component_block(plane: list[int], pw: int, ph: int, bx: int, by: int) -> li
     return out
 
 
-def _markers(w: int, h: int, subsampling: str) -> bytes:
+def _markers(w: int, h: int, subsampling: str, restart_interval: int = 0) -> bytes:
     """SOI..SOS prefix — fixed tables, so content-independent."""
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, tbl in ((0, _Q_FLAT), (1, _Q_FLAT)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(tbl)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0: baseline, 8-bit, 3 components
     y_h, y_v = (2, 2) if subsampling == "420" else (1, 1)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
@@ -309,9 +335,18 @@ def jpeg_header_hex(w: int, h: int, subsampling: str = "444") -> str:
     return _markers(w, h, subsampling).hex().upper()
 
 
-def jpeg_encode(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
+def jpeg_encode(
+    w: int,
+    h: int,
+    rgb: bytes,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline-sequential JFIF-less JPEG: fixed flat quant tables,
-    standard Annex K Huffman tables, 4:4:4 (default) or 4:2:0."""
+    standard Annex K Huffman tables, 4:4:4 (default) or 4:2:0.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what real web JPEGs carry for error resilience) —
+    used to exercise the decoder's restart path."""
     assert len(rgb) == w * h * 3, "rgb length must be w*h*3"
     assert subsampling in ("444", "420")
     n = w * h
@@ -331,6 +366,19 @@ def jpeg_encode(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
     dc_c = _huff_codes(*_DC_CHR)
     ac_c = _huff_codes(*_AC_CHR)
     preds = [0, 0, 0]
+    state = {"mcu": 0, "rst": 0}
+
+    def end_mcu(total: int) -> None:
+        state["mcu"] += 1
+        if (
+            restart_interval
+            and state["mcu"] % restart_interval == 0
+            and state["mcu"] < total
+        ):
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + (state["rst"] % 8)])
+            state["rst"] += 1
+            preds[0] = preds[1] = preds[2] = 0
 
     if subsampling == "444":
         bx_n = (w + 7) // 8
@@ -348,6 +396,7 @@ def jpeg_encode(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
                         ac,
                         preds[ci],
                     )
+                end_mcu(bx_n * by_n)
     else:  # 420: MCU = 16x16 -> 4 Y blocks + 1 Cb + 1 Cr (2x2 box mean)
         cw, ch = (w + 1) // 2, (h + 1) // 2
 
@@ -386,9 +435,14 @@ def jpeg_encode(w: int, h: int, rgb: bytes, subsampling: str = "444") -> bytes:
                 preds[2] = _encode_block(
                     bw, _component_block(cr_d, cw, ch, mx, my), _Q_FLAT, dc_c, ac_c, preds[2]
                 )
+                end_mcu(mcu_x * mcu_y)
 
     bw.flush()
-    return _markers(w, h, subsampling) + bytes(bw.buf) + b"\xff\xd9"
+    return (
+        _markers(w, h, subsampling, restart_interval)
+        + bytes(bw.buf)
+        + b"\xff\xd9"
+    )
 
 
 # --- decoder ----------------------------------------------------------------
@@ -422,6 +476,7 @@ def jpeg_parse(payload: bytes | None) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     w = h = 0
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
@@ -460,8 +515,8 @@ def jpeg_parse(payload: bytes | None) -> tuple[int, int, bytes]:
                 comps.append((cid, ch, cv, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan: list[tuple[int, int, int]] = []  # (comp idx, dc tid, ac tid)
@@ -473,13 +528,17 @@ def jpeg_parse(payload: bytes | None) -> tuple[int, int, bytes]:
                 if idx is None:
                     raise NotImplementedError("JPEG scan references unknown component")
                 scan.append((idx, tids >> 4, tids & 0x0F))
-            return _decode_scan(data, pos + seglen, w, h, comps, scan, quant, huff)
+            return _decode_scan(
+                data, pos + seglen, w, h, comps, scan, quant, huff, restart_interval
+            )
         # APPn / COM / others: skip
         pos += seglen
     raise NotImplementedError("truncated JPEG")
 
 
-def _decode_scan(data, pos, w, h, comps, scan, quant, huff) -> tuple[int, int, bytes]:
+def _decode_scan(
+    data, pos, w, h, comps, scan, quant, huff, restart_interval=0
+) -> tuple[int, int, bytes]:
     if w <= 0 or h <= 0:
         raise NotImplementedError("empty JPEG frame")
     hmax = max(c[1] for c in comps)
@@ -494,8 +553,16 @@ def _decode_scan(data, pos, w, h, comps, scan, quant, huff) -> tuple[int, int, b
         pdims.append((pw, ph))
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
+    mcu_done = 0
     for my in range(mcu_y):
         for mx in range(mcu_x):
+            if (
+                restart_interval
+                and mcu_done
+                and mcu_done % restart_interval == 0
+            ):
+                reader.sync_restart()
+                preds = [0] * len(comps)
             for idx, dc_tid, ac_tid in scan:
                 _, ch, cv, tq = comps[idx]
                 if tq not in quant:
@@ -538,6 +605,7 @@ def _decode_scan(data, pos, w, h, comps, scan, quant, huff) -> tuple[int, int, b
                             for xx in range(8):
                                 v = int(round(px[yy * 8 + xx] + 128.0))
                                 planes[idx][row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+            mcu_done += 1
 
     rgb = bytearray(w * h * 3)
     if len(comps) == 1:

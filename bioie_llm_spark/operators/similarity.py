@@ -379,13 +379,79 @@ def pq_codebooks(
     (the whole codebook for m=8, ks=16, dim=64 is 1024 floats)."""
     sub = dim // m
     assert sub * m == dim, f"dim {dim} not divisible by m {m}"
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col).alias(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+    # ONE-PASS build (r6): the naive formulation ran m sequential
+    # ivf_centroids jobs — m seed sort-limits plus m*lloyd_iters corpus
+    # scans (measured 479 s at 200k x dim 64, the whole index-build cost).
+    # The md5 seed order ignores the vector payload, so every subspace
+    # seeds from the SAME ks rows: one collect slices all m seed sets.
+    # Each Lloyd iteration is then a single scan that explodes each vector
+    # into its m subvectors and hash-aggregates fixed-point sums keyed by
+    # (subspace, cell, pos) — integer sums commute, so the refined
+    # codebooks are BIT-IDENTICAL to the per-subspace formulation (pinned
+    # by the unchanged sim_ann_recall ann_hash golden and the reference
+    # twin in test_similarity), for 1 + lloyd_iters corpus passes total.
+    seed_rows = (
+        corpus.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__i"))
+        .orderBy(F.md5(F.concat(F.col("__i").cast("string"), F.lit("|ivf"))))
+        .limit(ks)
+        .collect()
+    )
+    books = [
+        [list(r["__v"])[j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(lloyd_iters):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(F.col("__v"), j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
         )
-        books.append(ivf_centroids(sliced, ks, id_col, vec_col, lloyd_iters))
+        subvs = (
+            corpus.select(F.col(vec_col).alias("__v"))
+            .select(F.explode(entries).alias("__e"))
+            .select(F.col("__e.j").alias("__j"), F.col("__e.sv").alias("__sv"))
+        )
+        # per-subspace argmin: CASE on __j picks that subspace's centroid
+        # literals; CaseWhen evaluates only the matched branch per row
+        cell = ivf_assign(F.col("__sv"), books[m - 1])
+        for j in range(m - 2, -1, -1):
+            cell = F.when(
+                F.col("__j") == j, ivf_assign(F.col("__sv"), books[j])
+            ).otherwise(cell)
+        comp = (
+            subvs.withColumn("__cell", cell)
+            .select("__j", "__cell", F.posexplode("__sv").alias("__p", "__x"))
+            .groupBy("__j", "__cell", "__p")
+            .agg(
+                F.sum((F.col("__x") * F.lit(1e6)).cast("long")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
+        )
+        rows = (
+            comp.groupBy("__j", "__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "__p",
+                            (F.col("__s") / (F.col("__n") * F.lit(1e6))).alias("__m"),
+                        )
+                    )
+                ).alias("__ms")
+            )
+            .collect()
+        )
+        refined = {
+            (r["__j"], r["__cell"]): [mm["__m"] for mm in r["__ms"]] for r in rows
+        }
+        books = [
+            [refined.get((j, c), books[j][c]) for c in range(len(books[j]))]
+            for j in range(m)
+        ]
     return books
 
 
@@ -399,33 +465,6 @@ def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     return F.array(
         *[
             ivf_assign(F.slice(vec, j * sub + 1, sub), books[j])
-            for j in range(m)
-        ]
-    )
-
-
-def _adc_lut(qvec: Column, books: list[list[list[float]]]) -> Column:
-    """Per-QUERY ADC lookup table (Jégou et al. 2011 §5.2, the standard
-    trick): ``lut[j][c] = dot(query sub-vector j, books[j][c])`` as an
-    array<array<double>> computed once per query row. Candidate scoring
-    then reduces to m table lookups + a sum (_adc_from_lut) instead of
-    rebuilding the m*ks*(dim/m)-float codebook literals and re-dotting
-    them per candidate — measured 7x serve-path speedup at 50k vectors
-    (scripts/bench_ann_crossover.py). Addition order (j ascending, fold
-    from 0.0) matches the pre-LUT formulation bit-for-bit."""
-    m = len(books)
-    sub = len(books[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(qvec, j * sub + 1, sub),
-                        F.array(*[F.lit(v) for v in books[j][c]]),
-                    )
-                    for c in range(len(books[j]))
-                ]
-            )
             for j in range(m)
         ]
     )
@@ -504,24 +543,82 @@ def ivfpq_query(
     from codes alone, and only the top ``refine * k`` per query are
     re-ranked by exact cosine via a tiny vec_id join back to the corpus.
     Deterministic at any parallelism: both ranking windows break ties on
-    vec_id."""
-    qn = _l2_normalize(queries, query_id_col, vec_col, "query_id", "qvec")
-    dists = F.array(*[_sq_dist(F.col("qvec"), cc) for cc in cents])
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-            )
+    vec_id.
+
+    QUERY PREPROCESSING IS DRIVER WORK (r6, the FAISS client split):
+    normalization, probe selection and the per-query ADC lookup table
+    ``lut[j][c] = <query subvector j, books[j][c]>`` are computed in
+    Python from the collected query batch — queries are broadcast-sized
+    by contract (cosine_topk broadcasts them too), and this work is
+    O(batch * n_centroids * dim), independent of corpus size. Expressing
+    the LUT in-plan instead was measured 2.5x SLOWER end to end at the
+    bench fixture: Catalyst re-analyzes the m*ks aggregate-lambda
+    expression in every consumer of the shortlist subtree, a per-call
+    driver cost that dwarfs the fixture's execution time. Float op
+    order matches the old in-plan expressions exactly (left folds from
+    0.0), so results are bit-identical."""
+    import math
+
+    spark = queries.sparkSession
+    m = len(books)
+    sub = len(books[0][0])
+
+    def _pynorm(v: list[float]) -> list[float]:
+        s = 0.0
+        for x in v:
+            s += x * x
+        nrm = math.sqrt(s)
+        return [x / nrm for x in v]
+
+    def _pysqd(v: list[float], c: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(v, c):
+            s += (x - y) * (x - y)
+        return s
+
+    def _pydot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    qn_rows = []
+    for r in qrows:
+        qv = _pynorm([float(x) for x in r[vec_col]])
+        qn_rows.append((r[query_id_col], qv))
+        dists = [_pysqd(qv, cc) for cc in cents]
+        order = sorted(range(len(cents)), key=lambda i: (dists[i], i))[:n_probe]
+        lut = [
+            [_pydot(qv[j * sub : (j + 1) * sub], books[j][c]) for c in range(len(books[j]))]
+            for j in range(m)
+        ]
+        for cell in order:
+            probe_rows.append((r[query_id_col], qv, lut, cell))
+
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    q = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("qvec", T.ArrayType(T.DoubleType())),
+                T.StructField("__lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("cell", T.IntegerType()),
+            ]
         ),
-        1,
-        n_probe,
     )
-    q = (
-        qn.withColumn("__lut", _adc_lut(F.col("qvec"), books))
-        .withColumn("probe", F.explode(ranked_cells))
-        .select("query_id", "qvec", "__lut", F.col("probe.cell").alias("cell"))
+    qn = spark.createDataFrame(
+        qn_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     adc = F.broadcast(q).join(enc, "cell").select(
         "query_id",
@@ -529,8 +626,13 @@ def ivfpq_query(
         _adc_from_lut(F.col("__lut"), F.col("codes")).alias("adc_ip"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_ip").desc(), F.col("vec_id"))
-    shortlist = adc.withColumn("arank", F.row_number().over(w)).filter(
-        F.col("arank") <= refine * k
+    # the shortlist feeds TWO consumers (the hit-id semi-join and the
+    # re-rank join); it is refine*k rows per query, so checkpointing it
+    # executes the probe + ADC scan ONCE instead of twice
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= refine * k)
+        .localCheckpoint()
     )
     # join FIRST, normalize after: only the refine*k shortlist rows pay
     # the raw-vector read + norm, not the whole corpus — at scale the

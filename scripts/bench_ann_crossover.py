@@ -198,7 +198,7 @@ def run(n: int, cpus: int) -> list[dict]:
     # ADC is a coarse ranker: sweep the exact-re-rank shortlist width —
     # recall is bought with refine*k re-ranked rows per query, and the
     # sweep shows the price
-    for refine in (16, 32, 64):
+    for refine in (16, 32, 64, 128):
         pq_sec, pq_rows = _timed(
             lambda: ivfpq_query(
                 enc, corpus, pq_cents, books, q, k=K, n_probe=8, refine=refine

@@ -551,7 +551,7 @@ class TestJpegCodec:
             "not jpeg": b"BM\x00\x00",
             "progressive": b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00",
             "arithmetic": b"\xff\xd8\xff\xc9\x00\x06\x08\x00\x08\x00",
-            "restart": b"\xff\xd8\xff\xdd\x00\x04\x00\x10",
+            "dri with no scan": b"\xff\xd8\xff\xdd\x00\x04\x00\x10",
             "truncated": b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64),
             "empty": b"",
         }
@@ -562,3 +562,29 @@ class TestJpegCodec:
         sof12 = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">HBHHB", 17, 12, 8, 8, 3) + bytes(9)
         with _pytest.raises(NotImplementedError):
             jpeg_parse(sof12)
+
+    def test_restart_interval_roundtrip(self):
+        """DRI/RSTn streams (what real web JPEGs carry) decode exactly
+        like the marker-free stream: same pixels, predictor reset and
+        byte realign at each restart."""
+        import hashlib
+
+        from bioie_llm_spark.multimodal.jpeg_codec import jpeg_encode, jpeg_parse
+
+        raw = b"".join(hashlib.md5(f"r{j}".encode()).digest() for j in range(200))
+        # 32x24 444 -> 12 MCUs; interval 2 -> 5 restart markers
+        rgb = raw[: 32 * 24 * 3]
+        plain = jpeg_encode(32, 24, rgb, "444")
+        rst = jpeg_encode(32, 24, rgb, "444", restart_interval=2)
+        assert rst != plain and b"\xff\xdd" in rst
+        assert jpeg_parse(rst) == jpeg_parse(plain)
+        # 420: MCU = 16x16 -> 4 MCUs at 32x24, interval 1 hits every MCU
+        rst420 = jpeg_encode(32, 24, rgb, "420", restart_interval=1)
+        assert jpeg_parse(rst420) == jpeg_parse(jpeg_encode(32, 24, rgb, "420"))
+        # a stream whose DRI promises restarts that never appear must
+        # fall back, not crash
+        import pytest as _pytest
+
+        broken = rst.replace(b"\xff\xd0", b"\x00\x00", 1)
+        with _pytest.raises(NotImplementedError):
+            jpeg_parse(broken)

@@ -309,3 +309,25 @@ def test_ivf_topk_prebuilt_index_matches_inline(spark):
         tuple(r) for r in ivf_topk(emb, q, k=5, n_probe=4, index=idx).collect()
     )
     assert prebuilt == inline
+
+
+def test_pq_codebooks_onepass_matches_per_subspace_reference(spark):
+    """r6 one-pass PQ build: the single-scan (subspace, cell, pos)
+    formulation must be BIT-identical to the naive m-sequential-
+    ivf_centroids formulation it replaced (fixed-point sums commute)."""
+    from bioie_llm_spark.operators.similarity import ivf_centroids, pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    m, ks = 4, 8
+    sub = dim // m
+    got = pq_codebooks(emb, dim, m=m, ks=ks, lloyd_iters=2)
+    want = []
+    for j in range(m):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", j * sub + 1, sub).alias("embedding")
+        )
+        want.append(ivf_centroids(sliced, ks, lloyd_iters=2))
+    assert got == want
