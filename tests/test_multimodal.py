@@ -588,3 +588,44 @@ class TestJpegCodec:
         broken = rst.replace(b"\xff\xd0", b"\x00\x00", 1)
         with _pytest.raises(NotImplementedError):
             jpeg_parse(broken)
+
+    def test_grayscale_single_component_decode(self):
+        """1-component JPEGs (the decoder's grayscale path) decode to
+        replicated-RGB; the stream is hand-framed since the fixture
+        writer only emits 3-component YCbCr."""
+        import struct
+
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            _DC_LUM,
+            _AC_LUM,
+            _Q_FLAT,
+            _BitWriter,
+            _encode_block,
+            _huff_codes,
+            jpeg_parse,
+        )
+
+        # constant gray 100 over one 8x8 block
+        samples = [100.0] * 64
+        bw = _BitWriter()
+        _encode_block(
+            bw, samples, _Q_FLAT, _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM), 0
+        )
+        bw.flush()
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(_Q_FLAT)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += struct.pack(">BBB", 1, 0x11, 0)
+        for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM)):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+            out += bytes(bits) + bytes(vals)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack(">BB", 1, 0x00)
+        out += struct.pack(">BBB", 0, 63, 0)
+        out += bytes(bw.buf) + b"\xff\xd9"
+        w, h, rgb = jpeg_parse(bytes(out))
+        assert (w, h) == (8, 8)
+        assert len(rgb) == 8 * 8 * 3
+        # constant gray: every channel equals the input within rounding,
+        # and R == G == B exactly (replication)
+        assert all(abs(b - 100) <= 1 for b in rgb)
+        assert all(rgb[i] == rgb[i + 1] == rgb[i + 2] for i in range(0, len(rgb), 3))
