@@ -62,10 +62,17 @@ def materialize_corpus(sf: float, root: str, cpus: int = 8) -> tuple[str, str, i
     from bioie_llm_spark.datagen.corpus import CorpusSpec, build_corpus, build_gazetteer
     from bioie_llm_spark.session import get_spark
 
+    from pyspark.sql import SparkSession
+
     corpus_dir = os.path.join(root, f"corpus_sf{sf}")
     gaz_dir = os.path.join(root, f"gaz_sf{sf}")
     spec = CorpusSpec.for_scale(sf)
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        # getOrCreate returns the CALLER's session when one is already
+        # running — stopping it here killed the bench session on any run
+        # where a corpus dir was missing mid-bench (fresh /tmp). Only stop
+        # a session this function itself created.
+        owned = SparkSession.getActiveSession() is None
         spark = get_spark(cores=cpus, app_name="bench-datagen")
         # split-rich layout (256 files): extraction parallelism then comes
         # from input splits with ZERO shuffle, as it would from a real
@@ -74,7 +81,8 @@ def materialize_corpus(sf: float, root: str, cpus: int = 8) -> tuple[str, str, i
             corpus_dir
         )
         build_gazetteer(spark, spec).write.mode("overwrite").parquet(gaz_dir)
-        spark.stop()
+        if owned:
+            spark.stop()
     return corpus_dir, gaz_dir, spec.n_files
 
 

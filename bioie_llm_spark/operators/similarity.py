@@ -659,6 +659,47 @@ def ivfpq_query(
     )
 
 
+def ivfpq_auto_knobs(
+    n_corpus: int,
+    n_centroids: int,
+    k: int = 10,
+    n_probe: int | None = None,
+    shortlist_frac: float = 0.08,
+    refine_floor: int = 64,
+) -> tuple[int, int]:
+    """Corpus-size-derived serve knobs (n_probe, refine).
+
+    At fixed ``refine`` the recall decays as the corpus grows: the ADC
+    candidate set per query is ~n_corpus * n_probe / n_centroids, ADC is
+    a coarse ranker whose quantization noise grows with the number of
+    candidates competing for the shortlist, and only the top
+    ``refine * k`` survive to exact re-rank. The measured crossover sweep
+    (scripts/bench_ann_crossover.py, BASELINE.md: dim 64, 64 cells,
+    probe 8) shows recall@10 tracks the SHORTLIST / CANDIDATES ratio, not
+    refine itself: ~5% of candidates re-ranked gives 0.89-0.97, ~10%
+    gives ~1.0, while a fixed refine=128 decays 0.97@200k -> 0.79@400k.
+
+    So: hold the ratio constant — ``refine = shortlist_frac * candidates
+    / k`` (default 8%, the measured >=0.9 band), floored at
+    ``refine_floor`` so small corpora keep the minimum shortlist the 50k
+    fixture needed for ~1.0 recall. Cost stays scale-sane: the shortlist
+    is point lookups (refine*k rows per query), so an 8%-of-candidates
+    re-rank grows linearly with cell size while the dominant ADC scan is
+    unchanged — at 100 TB a deployment additionally scales n_centroids
+    ~ sqrt(n) at BUILD time (Jégou et al. 2011), which shrinks candidates
+    and pulls refine back down; this helper only tunes the serve side of
+    a given index.
+    """
+    import math
+
+    if n_probe is None:
+        n_probe = max(4, n_centroids // 8)
+    n_probe = min(n_probe, n_centroids)
+    candidates = n_corpus * n_probe / max(1, n_centroids)
+    refine = max(refine_floor, math.ceil(shortlist_frac * candidates / k))
+    return n_probe, refine
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -212,6 +212,25 @@ def run(n: int, cpus: int) -> list[dict]:
                 "recall_at_10": _recall(pq_rows, brute_rows),
             }
         )
+    # corpus-size-derived knobs (VERDICT r6 #3): hold the shortlist /
+    # candidates ratio constant instead of refine itself — the row every
+    # deployment should run, asserted >= 0.9 recall by --assert-recall
+    from bioie_llm_spark.operators.similarity import ivfpq_auto_knobs
+
+    a_probe, a_refine = ivfpq_auto_knobs(n, n_cent, k=K, n_probe=8)
+    pq_sec, pq_rows = _timed(
+        lambda: ivfpq_query(
+            enc, corpus, pq_cents, books, q, k=K, n_probe=a_probe, refine=a_refine
+        )
+    )
+    out.append(
+        {
+            "n": n,
+            "method": f"ivfpq_auto_r{a_refine}",
+            "sec": round(pq_sec, 3),
+            "recall_at_10": _recall(pq_rows, brute_rows),
+        }
+    )
     for row in out:
         print(json.dumps(row), flush=True)
     spark.stop()
@@ -222,6 +241,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="50000,200000")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--assert-recall", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -233,6 +253,14 @@ def main() -> None:
     print("|---|---|---|---|")
     for r in rows:
         print(f"| {r['n']:,} | {r['method']} | {r['sec']} | {r['recall_at_10']} |")
+
+    if args.assert_recall:
+        auto = [r for r in rows if r["method"].startswith("ivfpq_auto")]
+        bad = [r for r in auto if r["recall_at_10"] < 0.9]
+        assert auto and not bad, (
+            f"auto-knob recall floor breached: {bad or 'no auto rows'}"
+        )
+        print(f"OK: {len(auto)} auto-knob rows all hold recall@10 >= 0.9")
 
 
 if __name__ == "__main__":

@@ -331,3 +331,47 @@ def test_pq_codebooks_onepass_matches_per_subspace_reference(spark):
         )
         want.append(ivf_centroids(sliced, ks, lloyd_iters=2))
     assert got == want
+
+
+def test_ivfpq_auto_knobs_hold_shortlist_ratio():
+    """r7 corpus-size-derived serve knobs: the measured crossover sweep
+    (BASELINE.md) shows recall@10 tracks shortlist/candidates, so refine
+    must scale linearly with corpus size at fixed n_centroids — the fixed
+    refine=128 that decayed 0.97@200k -> 0.79@400k is exactly what this
+    helper exists to replace."""
+    from bioie_llm_spark.operators.similarity import ivfpq_auto_knobs
+
+    p200, r200 = ivfpq_auto_knobs(200_000, 64, k=10, n_probe=8)
+    p400, r400 = ivfpq_auto_knobs(400_000, 64, k=10, n_probe=8)
+    assert (p200, p400) == (8, 8)
+    # candidates double 25k -> 50k, so refine doubles: constant ratio
+    assert r400 == 2 * r200
+    # the 400k knob must exceed the fixed refine that measured 0.79
+    assert r400 > 128
+    # floor: small corpora keep the minimum shortlist the 50k fixture
+    # needed for ~1.0 recall, never collapsing to refine=1
+    _, r_small = ivfpq_auto_knobs(1_000, 64, k=10, n_probe=8)
+    assert r_small == 64
+    # n_probe defaults to n_centroids/8, clamped to n_centroids
+    p_def, _ = ivfpq_auto_knobs(10_000, 64, k=10)
+    assert p_def == 8
+    p_clamp, _ = ivfpq_auto_knobs(10_000, 4, k=10)
+    assert p_clamp == 4
+
+
+def test_ivfpq_auto_knobs_recall_on_fixture(spark):
+    """Auto knobs on the small fixture take the refine floor and must
+    land >= 0.9 recall@10 (the same floor the graded sim_ann_recall row
+    holds at 0.85 with hand-picked refine=8)."""
+    from bioie_llm_spark.operators.similarity import ivfpq_auto_knobs, ivfpq_topk
+
+    corpus = _corpus(spark)
+    n = corpus.count()
+    n_probe, refine = ivfpq_auto_knobs(n, 8, k=10, n_probe=6)
+    exact = cosine_topk(corpus, _queries(spark), k=10)
+    approx = ivfpq_topk(
+        corpus, _queries(spark), k=10,
+        n_centroids=8, n_probe=n_probe, m=16, ks=16, refine=refine,
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "inner").count()
+    assert hits / exact.count() >= 0.9
