@@ -507,8 +507,15 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
             if f == "bmp":
                 return _bmp_encode(8, 8, bytes.fromhex(hx))
             if f == "jpeg":
-                from .jpeg_codec import jpeg_encode
+                from .jpeg_codec import jpeg_encode, jpeg_encode_progressive
 
+                # half the JPEG fixtures are PROGRESSIVE (SOF2) — the
+                # container real web corpora actually serve (r7); both
+                # decode to identical pixels, so the pinned features_hash
+                # / resize_hash goldens discriminate: a broken progressive
+                # path would route these rows to the stub and drift both.
+                if int(hx[3], 16) % 2:
+                    return jpeg_encode_progressive(8, 8, bytes.fromhex(hx))
                 return jpeg_encode(8, 8, bytes.fromhex(hx))
             if f == "wav":
                 raw = bytes.fromhex(hx)

@@ -3681,6 +3681,15 @@ def _mm_jpg_hdr_hex() -> str:
     return jpeg_header_hex(64, 64)
 
 
+def _mm_prog_hdr_hex() -> str:
+    """Byte-exact content-independent prefix (SOI..DHT + first SOS header)
+    of an 8x8 progressive fixture — classifies which SOURCE assets carry
+    the SOF2 container (r7; half the JPEG fixtures)."""
+    from .multimodal.jpeg_codec import jpeg_prog_header_hex
+
+    return jpeg_prog_header_hex(8, 8)
+
+
 def _mm_binary_pipeline_oracle() -> str | None:
     import os
 
@@ -3709,7 +3718,11 @@ def _mm_binary_pipeline_oracle() -> str | None:
              CAST(sum(CASE WHEN kind = 'audio'
                             AND left(hex(payload), 8) = '{_MM_RIFF_HEX}'
                             AND substr(hex(payload), 17, 8) = '{_MM_WAVE_HEX}'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_real
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_real,
+             CAST(sum(CASE WHEN kind = 'image'
+                            AND left(hex(payload), {len(_mm_prog_hdr_hex())})
+                                = '{_mm_prog_hdr_hex()}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_src_jpeg_prog
       FROM assets
     ),
     rz AS (
@@ -3744,7 +3757,7 @@ def _mm_binary_pipeline_oracle() -> str | None:
       FROM read_parquet('{glob("frames")}')
     )
     SELECT f.n_assets, g.features_hash, k.n_images, k.n_videos,
-           k.n_audio, k.n_audio_real,
+           k.n_audio, k.n_audio_real, k.n_src_jpeg_prog,
            r.n_resized_ok, r.n_resized_real, r.n_resized_real_png,
            r.n_resized_real_bmp, r.n_resized_real_jpeg,
            g.resize_hash, fr.n_frames, fr.n_frame_videos, g.frames_hash,
@@ -3784,6 +3797,19 @@ def mm_binary_pipeline(spark, sf_dir):
                 & (F.substring("payload", 9, 4) == F.unhex(F.lit(_MM_WAVE_HEX)))
             ).cast("int")
         ).cast("long").alias("n_audio_real"),
+        # progressive-source classification (r7): half the JPEG fixtures
+        # carry the SOF2 container; their features/resize rows ride the
+        # progressive decode, so the pinned features_hash/resize_hash
+        # drift if that path breaks
+        F.sum(
+            (
+                (F.col("kind") == "image")
+                & (
+                    F.substring("payload", 1, len(_mm_prog_hdr_hex()) // 2)
+                    == F.unhex(F.lit(_mm_prog_hdr_hex()))
+                )
+            ).cast("int")
+        ).cast("long").alias("n_src_jpeg_prog"),
     )
     # a resized image payload is valid in either branch: REAL decode emits
     # a P6/PNG/BMP at the target box, the stub emits its byte-per-pixel

@@ -549,7 +549,7 @@ class TestJpegCodec:
 
         cases = {
             "not jpeg": b"BM\x00\x00",
-            "progressive": b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00",
+            "truncated SOF2": b"\xff\xd8\xff\xc2\x00\x06\x08\x00\x08\x00",
             "arithmetic": b"\xff\xd8\xff\xc9\x00\x06\x08\x00\x08\x00",
             "dri with no scan": b"\xff\xd8\xff\xdd\x00\x04\x00\x10",
             "truncated": b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64),
@@ -629,3 +629,164 @@ class TestJpegCodec:
         # and R == G == B exactly (replication)
         assert all(abs(b - 100) <= 1 for b in rgb)
         assert all(rgb[i] == rgb[i + 1] == rgb[i + 2] for i in range(0, len(rgb), 3))
+
+
+class TestJpegProgressive:
+    """r7: SOF2 progressive decode (T.81 Annex G — spectral selection +
+    successive approximation). The encoder twin carries the SAME
+    quantized coefficients as the baseline writer, so every fixture pins
+    progressive decode == baseline decode BIT-FOR-BIT."""
+
+    @staticmethod
+    def _pix(tag, w, h):
+        import hashlib
+
+        out = b""
+        i = 0
+        while len(out) < w * h * 3:
+            out += hashlib.md5(f"{tag}|{i}".encode()).digest()
+            i += 1
+        return out[: w * h * 3]
+
+    def test_matches_baseline_noise_and_geometries(self):
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        # non-multiple-of-8/16 dims exercise the padded-MCU-grid vs
+        # non-padded-component-grid split between interleaved DC scans
+        # and per-component AC scans
+        for w, h, sub in [(8, 8, "444"), (13, 11, "444"), (24, 21, "420"), (33, 17, "420")]:
+            rgb = self._pix(f"{w}x{h}{sub}", w, h)
+            base = jpeg_parse(jpeg_encode(w, h, rgb, subsampling=sub))
+            prog = jpeg_parse(jpeg_encode_progressive(w, h, rgb, subsampling=sub))
+            assert base == prog, f"progressive != baseline at {w}x{h} {sub}"
+
+    def test_matches_baseline_smooth_eob_runs(self):
+        """Smooth gradients leave most AC coefficients zero — the encoder
+        accumulates multi-block EOB runs and the decoder's EOBRUN skip +
+        carried-correction-bit paths are what reconstructs them."""
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        w, h = 32, 24
+        rgb = bytes(
+            min(255, (x + y) // 2) for y in range(h) for x in range(w) for _ in range(3)
+        )
+        for sub in ("444", "420"):
+            base = jpeg_parse(jpeg_encode(w, h, rgb, subsampling=sub))
+            prog = jpeg_parse(jpeg_encode_progressive(w, h, rgb, subsampling=sub))
+            assert base == prog
+
+    def test_matches_baseline_sparse_zrl_refine(self):
+        """Near-flat pixels with scattered ±1 bumps produce blocks whose
+        band has >16 zero-history coefficients before a newly-nonzero one
+        — the ZRL-inside-refinement path with interleaved correction
+        bits."""
+        import hashlib
+
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        w, h = 40, 32
+        base_v = 120
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                bump = hashlib.md5(f"z|{x}|{y}".encode()).digest()[0] % 11 == 0
+                v = base_v + (3 if bump else 0)
+                px += bytes((v, v, v))
+        base = jpeg_parse(jpeg_encode(w, h, bytes(px)))
+        prog = jpeg_parse(jpeg_encode_progressive(w, h, bytes(px)))
+        assert base == prog
+
+    def test_grayscale_progressive(self):
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        rgb = bytes(100 for _ in range(8 * 8 * 3))
+        w, h, out = jpeg_parse(jpeg_encode_progressive(8, 8, rgb, grayscale=True))
+        assert (w, h) == (8, 8)
+        assert all(abs(b - 100) <= 1 for b in out)
+        assert all(out[i] == out[i + 1] == out[i + 2] for i in range(0, len(out), 3))
+
+    def test_prog_header_prefix_is_content_independent(self):
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode_progressive,
+            jpeg_prog_header_hex,
+        )
+
+        hdr = jpeg_prog_header_hex(8, 8)
+        for tag in ("a", "b", "c"):
+            p = jpeg_encode_progressive(8, 8, self._pix(tag, 8, 8))
+            assert p.hex().upper().startswith(hdr)
+        assert jpeg_prog_header_hex(16, 8) != hdr  # geometry-dependent
+
+    def test_roundtrip_property(self):
+        """Hypothesis sweep: random geometry + subsampling + pixels, the
+        progressive twin always reproduces the baseline decode."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            w=st.integers(min_value=4, max_value=24),
+            h=st.integers(min_value=4, max_value=24),
+            sub=st.sampled_from(["444", "420"]),
+            seed=st.integers(min_value=0, max_value=2**31),
+        )
+        def check(w, h, sub, seed):
+            rgb = self._pix(f"hyp{seed}", w, h)
+            base = jpeg_parse(jpeg_encode(w, h, rgb, subsampling=sub))
+            prog = jpeg_parse(jpeg_encode_progressive(w, h, rgb, subsampling=sub))
+            assert base == prog
+
+        check()
+
+    def test_mm_fixtures_real_decode_progressive(self, spark):
+        """The graded fixture set carries progressive-container JPEGs;
+        resize must route them through the REAL decode (output = the
+        baseline writer's 64x64 re-encode, not the stub raster)."""
+        from pyspark.sql import functions as F
+
+        from bioie_llm_spark.multimodal.binary_ops import resize_images, synth_assets
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_header_hex,
+            jpeg_prog_header_hex,
+        )
+
+        assets = synth_assets(spark, 64)
+        prog_hdr = jpeg_prog_header_hex(8, 8)
+        prog_ids = {
+            r["asset_id"]
+            for r in assets.filter(
+                F.substring("payload", 1, len(prog_hdr) // 2)
+                == F.unhex(F.lit(prog_hdr))
+            ).collect()
+        }
+        assert len(prog_ids) >= 2, "fixture must contain progressive sources"
+        out_hdr = jpeg_header_hex(64, 64)
+        resized = {
+            r["asset_id"]: bytes(r["payload"])
+            for r in resize_images(assets, 64, 64).collect()
+        }
+        for aid in prog_ids:
+            assert resized[aid].hex().upper().startswith(out_hdr), (
+                f"progressive asset {aid} fell back to the stub"
+            )
