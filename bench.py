@@ -155,9 +155,22 @@ def run_pinned_level(
     """One --single-level run in a fresh JVM, taskset-pinned to exactly n
     cores when available (an honest N-core 'cluster': JVM threads and
     Python workers share the pinned set). Shared by --scaling (8 vs 32
-    cores) and --size-scaling (32 cores, growing input)."""
+    cores) and --size-scaling (32 cores, growing input).
+
+    Heap scales with cores (cores/2 GiB, SPARK_GRAFT_SCALE_HEAP=0 reverts
+    to a constant 8g): memory-per-core-constant is the honest two-cluster
+    emulation — an 8-core cluster does not get the 32-core cluster's
+    DRAM. A/B measured on an idle box (2 runs each, r7, full table in
+    BASELINE.md): scaled heap holds extract_link efficiency at
+    0.96-0.98 (constant-heap wobbles 0.82-0.90 because the narrow leg
+    borrows headroom a small cluster wouldn't have — 8g speeds the
+    8-core extraction ~12% vs its fair 4g share); full-pipeline
+    efficiency is 0.84-0.90 under BOTH policies."""
     import shutil
 
+    env = dict(env)
+    if os.environ.get("SPARK_GRAFT_SCALE_HEAP", "1") == "1":
+        env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(2, n // 2)}g"
     cmd = [
         sys.executable, __file__, "--single-level", str(n),
         corpus_dir, gaz_dir, str(n_files),

@@ -1811,12 +1811,30 @@ _QUALITY_SQL = f"""
                           / nullif(length(d.text), 0), 0.0), 4) AS dup_span_frac,
            coalesce(c.dup_chars, 0) AS dup_chars
     FROM documents d LEFT JOIN cdc_doc c USING (doc_id)
+    UNION ALL
+    -- the REMOVAL invariant (r7): the engine row sums the length of the
+    -- actually-rebuilt clean_text; this side PREDICTS it as
+    -- sum(len) - sum(dup_chars) from the independent cut-point recompute
+    -- (chunks tile the text exactly), and counts the docs that shrank
+    SELECT 'cdc_removed' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS content_key,
+           CAST(NULL AS BIGINT) AS n_dups,
+           CAST(NULL AS DOUBLE) AS quality,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE coalesce(c.dup_chars, 0) > 0)
+                AS BIGINT) AS n_win,
+           CAST(NULL AS BIGINT) AS n_dup_win,
+           CAST(NULL AS DOUBLE) AS dup_span_frac,
+           CAST(sum(length(d.text) - coalesce(c.dup_chars, 0))
+                AS BIGINT) AS dup_chars
+    FROM documents d LEFT JOIN cdc_doc c USING (doc_id)
     """,
 )
 def dd_exact_clean_corpus(spark, sf_dir):
     from .functions.text import quality_score, token_count
     from .operators.dedup import (
         cdc_dup_stats,
+        cdc_remove_dup_spans,
         exact_dedup,
         normalized_text,
         substring_dup_stats,
@@ -1884,10 +1902,38 @@ def dd_exact_clean_corpus(spark, sf_dir):
         "dup_span_frac",
         "dup_chars",
     )
+    # the removal invariant (r7, VERDICT #4/#6): run the DESTRUCTIVE
+    # offset-invariant path — rebuild every clean_text through the
+    # kept-chunk aggregate expression — and expose its two independently
+    # predictable aggregates: total clean chars (oracle: sum(len) -
+    # sum(dup_chars) from its own cut-point recompute) and the count of
+    # docs that actually shrank
+    removed_row = (
+        cdc_remove_dup_spans(d)
+        .agg(
+            F.sum(F.length("clean_text")).cast("bigint").alias("__clean_chars"),
+            F.sum(
+                (F.length("clean_text") != F.length("text")).cast("bigint")
+            ).alias("__n_changed"),
+        )
+        .select(
+            F.lit("cdc_removed").alias("kind"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("content_key"),
+            F.lit(None).cast("bigint").alias("n_dups"),
+            F.lit(None).cast("double").alias("quality"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+            F.col("__n_changed").alias("n_win"),
+            F.lit(None).cast("bigint").alias("n_dup_win"),
+            F.lit(None).cast("double").alias("dup_span_frac"),
+            F.col("__clean_chars").alias("dup_chars"),
+        )
+    )
     return (
         dedup_rows.unionByName(clean_rows)
         .unionByName(substr_rows)
         .unionByName(cdc_rows)
+        .unionByName(removed_row)
     )
 
 
@@ -2418,14 +2464,19 @@ def sim_near_dup_lsh(spark, sf_dir):
 # case for coarse quantization (no cluster structure to exploit), so the
 # floor states what the partition scheme actually guarantees there
 # (VERDICT r3 #5).
-_ANN_FLOORS = {"ivf": 0.85, "ivfpq": 0.85, "lsh": 0.9}
+_ANN_FLOORS = {"ivf": 0.85, "ivfpq": 0.85, "lsh": 0.9, "ivfpq_auto": 0.9}
 
 
 def _ann_root(sf_dir: str) -> str:
     from .operators import similarity as _sim_mod
 
+    # the method set lives in _ann_parquet's build fn (THIS module, which
+    # is deliberately outside the key — it changes every round); tag it
+    # explicitly so adding a graded method can never reuse a stale
+    # materialization that lacks its rows
     return _source_hashed_root(
-        "bioie_ann", sf_dir, (_sim_mod,), extra=_emb_ident(sf_dir)
+        "bioie_ann", sf_dir, (_sim_mod,),
+        extra=_emb_ident(sf_dir) + "|methods=ivf,ivfpq,ivfpq_auto,lsh",
     )
 
 
@@ -2435,7 +2486,12 @@ def _ann_parquet(spark: SparkSession, sf_dir: str) -> str:
     same candidate rows."""
     import os
 
-    from .operators.similarity import ivf_topk, ivfpq_topk, lsh_ann_topk
+    from .operators.similarity import (
+        ivf_topk,
+        ivfpq_auto_knobs,
+        ivfpq_topk,
+        lsh_ann_topk,
+    )
 
     def build(scr: str) -> None:
         emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -2451,12 +2507,28 @@ def _ann_parquet(spark: SparkSession, sf_dir: str) -> str:
         pq = ivfpq_topk(
             emb, q, k=10, n_centroids=8, n_probe=6, m=16, ks=16, refine=8
         )
+        # the corpus-size-derived knobs (r7, VERDICT #3): hold the
+        # shortlist/candidates ratio instead of a fixed refine — graded
+        # at a STRICTER 0.9 floor (the auto-knob promise the 400k
+        # crossover fixture also holds, BASELINE.md r7)
+        a_probe, a_refine = ivfpq_auto_knobs(
+            emb.count(), n_centroids=8, k=10, n_probe=6
+        )
+        pq_auto = ivfpq_topk(
+            emb, q, k=10, n_centroids=8, n_probe=a_probe, m=16, ks=16,
+            refine=a_refine,
+        )
         lsh = lsh_ann_topk(emb, q, k=10, n_tables=6, query_id_col="query_id")
         (
             ivf.select(F.lit("ivf").alias("method"), "query_id", "vec_id", "rank")
             .unionByName(
                 pq.select(
                     F.lit("ivfpq").alias("method"), "query_id", "vec_id", "rank"
+                )
+            )
+            .unionByName(
+                pq_auto.select(
+                    F.lit("ivfpq_auto").alias("method"), "query_id", "vec_id", "rank"
                 )
             )
             .unionByName(
@@ -2511,6 +2583,7 @@ def _sim_ann_recall_oracle() -> str | None:
            round(coalesce(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
                           / nullif(ne.n_exact, 0), 0.0), 4) AS recall,
            CAST(CASE WHEN m.method = 'lsh' THEN {_ANN_FLOORS["lsh"]}
+                     WHEN m.method = 'ivfpq_auto' THEN {_ANN_FLOORS["ivfpq_auto"]}
                      ELSE {_ANN_FLOORS["ivf"]} END AS DOUBLE) AS floor,
            true AS ok,
            g.ann_hash
@@ -2545,8 +2618,10 @@ def sim_ann_recall(spark, sf_dir):
         .groupBy("method")
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
-    floor = F.when(F.col("method") == "lsh", F.lit(_ANN_FLOORS["lsh"])).otherwise(
-        F.lit(_ANN_FLOORS["ivf"])  # ivf and ivfpq share the 0.85 floor
+    floor = (
+        F.when(F.col("method") == "lsh", F.lit(_ANN_FLOORS["lsh"]))
+        .when(F.col("method") == "ivfpq_auto", F.lit(_ANN_FLOORS["ivfpq_auto"]))
+        .otherwise(F.lit(_ANN_FLOORS["ivf"]))  # ivf/ivfpq share 0.85
     )
     recall = F.coalesce(F.try_divide("n_hit", "n_exact"), F.lit(0.0))
     return (
