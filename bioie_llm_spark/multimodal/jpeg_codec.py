@@ -1020,13 +1020,17 @@ def _prog_sos_header(
     return hdr + struct.pack(">BBB", ss, se, (ah << 4) | al)
 
 
-def _prog_markers(w: int, h: int, subsampling: str, grayscale: bool) -> bytes:
+def _prog_markers(
+    w: int, h: int, subsampling: str, grayscale: bool, restart_interval: int = 0
+) -> bytes:
     """SOI..DHT for the progressive writer — fixed tables, so
-    content-independent for a given geometry."""
+    content-independent for a given geometry (+DRI when restarts on)."""
     comps = _prog_comps(subsampling, grayscale)
     out = bytearray(b"\xff\xd8")
     for tid in (0,) if grayscale else (0, 1):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(_Q_FLAT)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
     for cid, chf, cvf, tq in comps:
         out += struct.pack(">BBB", cid, (chf << 4) | cvf, tq)
@@ -1059,6 +1063,7 @@ def jpeg_encode_progressive(
     rgb: bytes,
     subsampling: str = "444",
     grayscale: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG with successive approximation — the
     fixture twin of ``jpeg_encode``: same flat quant tables, same FDCT,
@@ -1070,7 +1075,14 @@ def jpeg_encode_progressive(
     per-component AC first scans at Al=1 with a split luma spectral band
     (1-5 then 6-63), DC refinement, then per-component AC refinement at
     Al=0 — exercising all four progressive entropy decoders including
-    EOB-run accumulation and buffered correction bits."""
+    EOB-run accumulation and buffered correction bits.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many restart units in EVERY scan (MCUs when interleaved, blocks
+    when single-component), flushing the pending EOB run + carried
+    correction bits and resetting DC predictors at each marker — the
+    decoder's progressive-restart path (predictor/EOBRUN reset + byte
+    realign) is exercised by this twin."""
     assert len(rgb) == w * h * 3, "rgb length must be w*h*3"
     assert subsampling in ("444", "420")
     ys, cbs, crs = _rgb_to_ycc(w, h, rgb)
@@ -1102,7 +1114,7 @@ def jpeg_encode_progressive(
         bdims.append((bw_, bh_))
 
     # --- headers: SOI, DQT, SOF2, DHT (DC Annex K + the flat prog AC) ---
-    out = bytearray(_prog_markers(w, h, subsampling, grayscale))
+    out = bytearray(_prog_markers(w, h, subsampling, grayscale, restart_interval))
 
     dc_codes = [_huff_codes(*(_DC_LUM if ci == 0 else _DC_CHR)) for ci in range(len(comps))]
     ac_codes = _huff_codes(*_AC_PROG)
@@ -1110,154 +1122,157 @@ def jpeg_encode_progressive(
     def sos_header(members: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         return _prog_sos_header(comps, members, ss, se, ah, al)
 
-    def dc_blocks_interleaved():
-        """(ci, block) in MCU order over the padded grid."""
-        for my in range(mcu_y):
-            for mx in range(mcu_x):
-                for ci, (_, chf, cvf, _) in enumerate(comps):
-                    bw_, _ = bdims[ci]
-                    for by in range(cvf):
-                        for bx in range(chf):
-                            yield ci, qblocks[ci][(my * cvf + by) * bw_ + mx * chf + bx]
+    def dc_units(members):
+        """Restart units for a DC scan: one MCU (all member blocks) when
+        interleaved, one block when single-component (T.81 E.2.4: the
+        restart interval counts MCUs, and a non-interleaved scan's MCU is
+        one data unit)."""
+        if len(members) > 1:
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    unit = []
+                    for ci, (_, chf, cvf, _) in enumerate(comps):
+                        bw_, _ = bdims[ci]
+                        for by in range(cvf):
+                            for bx in range(chf):
+                                unit.append(
+                                    (ci, qblocks[ci][(my * cvf + by) * bw_ + mx * chf + bx])
+                                )
+                    yield unit
+        else:
+            ci = members[0]
+            bw_, _ = bdims[ci]
+            nbx, nby = _nonpadded_blocks(w, h, comps, ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield [(ci, qblocks[ci][by * bw_ + bx])]
 
-    def dc_blocks_single(ci: int):
+    def ac_blocks(ci):
         bw_, _ = bdims[ci]
         nbx, nby = _nonpadded_blocks(w, h, comps, ci)
         for by in range(nby):
             for bx in range(nbx):
-                yield ci, qblocks[ci][by * bw_ + bx]
+                yield qblocks[ci][by * bw_ + bx]
 
-    def dc_blocks(members):
-        return dc_blocks_interleaved() if len(members) > 1 else dc_blocks_single(members[0])
+    def flush_eob(bwr, state):
+        """Emit the pending EOBn code, then any correction bits carried
+        with the run (AC refinement)."""
+        if state["eobrun"]:
+            r = state["eobrun"].bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bwr.write(code, ln)
+            if r:
+                bwr.write(state["eobrun"] - (1 << r), r)
+            for b in state["carried"]:
+                bwr.write(b, 1)
+            state["eobrun"] = 0
+            state["carried"] = []
 
-    def emit_dc_first(bwr, members, al):
-        preds = [0] * len(comps)
-        for ci, qb in dc_blocks(members):
+    def emit_dc_first_unit(bwr, unit, state, al):
+        for ci, qb in unit:
             v = qb[0] >> al
-            size, bits = _magnitude(v - preds[ci])
-            preds[ci] = v
+            size, bits = _magnitude(v - state["preds"][ci])
+            state["preds"][ci] = v
             code, ln = dc_codes[ci][size]
             bwr.write(code, ln)
             if size:
                 bwr.write(bits, size)
 
-    def emit_dc_refine(bwr, members, al):
-        for _ci, qb in dc_blocks(members):
+    def emit_dc_refine_unit(bwr, unit, state, al):
+        for _ci, qb in unit:
             bwr.write((qb[0] >> al) & 1, 1)
 
-    def emit_ac_first(bwr, ci, ss, se, al):
-        bw_, _ = bdims[ci]
-        nbx, nby = _nonpadded_blocks(w, h, comps, ci)
-        eobrun = 0
-
-        def flush_eob():
-            nonlocal eobrun
-            if eobrun:
-                r = eobrun.bit_length() - 1
-                code, ln = ac_codes[r << 4]
+    def emit_ac_first_block(bwr, qb, ss, se, al, state):
+        run = 0
+        for k in range(ss, se + 1):
+            t = abs(qb[k]) >> al
+            if t == 0:
+                run += 1
+                continue
+            flush_eob(bwr, state)
+            while run > 15:
+                code, ln = ac_codes[0xF0]
                 bwr.write(code, ln)
-                if r:
-                    bwr.write(eobrun - (1 << r), r)
-                eobrun = 0
+                run -= 16
+            size, bits = _magnitude(t if qb[k] > 0 else -t)
+            code, ln = ac_codes[(run << 4) | size]
+            bwr.write(code, ln)
+            bwr.write(bits, size)
+            run = 0
+        if run > 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eob(bwr, state)
 
-        for by in range(nby):
-            for bx in range(nbx):
-                qb = qblocks[ci][by * bw_ + bx]
-                run = 0
-                for k in range(ss, se + 1):
-                    t = abs(qb[k]) >> al
-                    if t == 0:
-                        run += 1
-                        continue
-                    flush_eob()
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        bwr.write(code, ln)
-                        run -= 16
-                    size, bits = _magnitude(t if qb[k] > 0 else -t)
-                    code, ln = ac_codes[(run << 4) | size]
+    def emit_ac_refine_block(bwr, qb, ss, se, al, state):
+        t = [0] * (se + 1)
+        eobpos = ss - 1
+        for k in range(ss, se + 1):
+            t[k] = abs(qb[k]) >> al
+            if t[k] == 1:
+                eobpos = k
+        r = 0
+        cur: list[int] = []  # bits buffered inside this block
+        for k in range(ss, se + 1):
+            if t[k] == 0:
+                r += 1
+                continue
+            if k <= eobpos:
+                while r > 15:
+                    flush_eob(bwr, state)
+                    code, ln = ac_codes[0xF0]
                     bwr.write(code, ln)
-                    bwr.write(bits, size)
-                    run = 0
-                if run > 0:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eob()
-        flush_eob()
-
-    def emit_ac_refine(bwr, ci, ss, se, al):
-        bw_, _ = bdims[ci]
-        nbx, nby = _nonpadded_blocks(w, h, comps, ci)
-        eobrun = 0
-        carried: list[int] = []  # correction bits travelling with the EOB run
-
-        def flush_eob():
-            nonlocal eobrun, carried
-            if eobrun:
-                r = eobrun.bit_length() - 1
-                code, ln = ac_codes[r << 4]
-                bwr.write(code, ln)
-                if r:
-                    bwr.write(eobrun - (1 << r), r)
-                for b in carried:
-                    bwr.write(b, 1)
-                eobrun = 0
-                carried = []
-
-        for by in range(nby):
-            for bx in range(nbx):
-                qb = qblocks[ci][by * bw_ + bx]
-                t = [0] * (se + 1)
-                eobpos = ss - 1
-                for k in range(ss, se + 1):
-                    t[k] = abs(qb[k]) >> al
-                    if t[k] == 1:
-                        eobpos = k
-                r = 0
-                cur: list[int] = []  # bits buffered inside this block
-                for k in range(ss, se + 1):
-                    if t[k] == 0:
-                        r += 1
-                        continue
-                    if k <= eobpos:
-                        while r > 15:
-                            flush_eob()
-                            code, ln = ac_codes[0xF0]
-                            bwr.write(code, ln)
-                            r -= 16
-                            for b in cur:
-                                bwr.write(b, 1)
-                            cur = []
-                    if t[k] > 1:
-                        cur.append(t[k] & 1)
-                        continue
-                    flush_eob()
-                    code, ln = ac_codes[(r << 4) | 1]
-                    bwr.write(code, ln)
-                    bwr.write(1 if qb[k] > 0 else 0, 1)
+                    r -= 16
                     for b in cur:
                         bwr.write(b, 1)
                     cur = []
-                    r = 0
-                if r > 0 or cur:
-                    eobrun += 1
-                    carried.extend(cur)
-                    if eobrun == 0x7FFF or len(carried) > 900:
-                        flush_eob()
-        flush_eob()
+            if t[k] > 1:
+                cur.append(t[k] & 1)
+                continue
+            flush_eob(bwr, state)
+            code, ln = ac_codes[(r << 4) | 1]
+            bwr.write(code, ln)
+            bwr.write(1 if qb[k] > 0 else 0, 1)
+            for b in cur:
+                bwr.write(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            state["eobrun"] += 1
+            state["carried"].extend(cur)
+            if state["eobrun"] == 0x7FFF or len(state["carried"]) > 900:
+                flush_eob(bwr, state)
 
     for members, ss, se, ah, al in _prog_script(grayscale):
         out += sos_header(members, ss, se, ah, al)
         bwr = _BitWriter()
+        state = {"eobrun": 0, "carried": [], "preds": [0] * len(comps)}
         if ss == 0:
-            if ah == 0:
-                emit_dc_first(bwr, members, al)
-            else:
-                emit_dc_refine(bwr, members, al)
-        elif ah == 0:
-            emit_ac_first(bwr, members[0], ss, se, al)
+            units = dc_units(members)
+            emit = (
+                emit_dc_first_unit if ah == 0 else emit_dc_refine_unit
+            )
+
+            def emit_unit(u, _emit=emit, _al=al):
+                _emit(bwr, u, state, _al)
         else:
-            emit_ac_refine(bwr, members[0], ss, se, al)
+            units = ac_blocks(members[0])
+            emit = emit_ac_first_block if ah == 0 else emit_ac_refine_block
+
+            def emit_unit(u, _emit=emit, _ss=ss, _se=se, _al=al):
+                _emit(bwr, u, _ss, _se, _al, state)
+        rst = 0
+        for i, unit in enumerate(units):
+            if restart_interval and i and i % restart_interval == 0:
+                # byte-align and emit RSTn; DC predictors and the EOB run
+                # (with its carried correction bits) reset per T.81 E.2.4
+                flush_eob(bwr, state)
+                bwr.flush()
+                bwr.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                state["preds"] = [0] * len(comps)
+            emit_unit(unit)
+        flush_eob(bwr, state)
         bwr.flush()
         out += bytes(bwr.buf)
     return bytes(out) + b"\xff\xd9"

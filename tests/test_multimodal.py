@@ -790,3 +790,31 @@ class TestJpegProgressive:
             assert resized[aid].hex().upper().startswith(out_hdr), (
                 f"progressive asset {aid} fell back to the stub"
             )
+
+    def test_restart_intervals_in_progressive_scans(self):
+        """DRI/RSTn inside progressive scans (late r7): predictors and
+        the EOB run (with carried correction bits) reset at every
+        restart marker in every scan; decode must still equal the
+        baseline decode bit-for-bit, including when a smooth image's
+        multi-block EOB runs are forcibly truncated at each boundary."""
+        from bioie_llm_spark.multimodal.jpeg_codec import (
+            jpeg_encode,
+            jpeg_encode_progressive,
+            jpeg_parse,
+        )
+
+        for w, h, sub, ri in [(24, 21, "444", 2), (33, 17, "420", 1), (40, 32, "444", 5)]:
+            rgb = self._pix(f"rst{w}{h}{sub}{ri}", w, h)
+            base = jpeg_parse(jpeg_encode(w, h, rgb, subsampling=sub))
+            prog = jpeg_parse(
+                jpeg_encode_progressive(w, h, rgb, subsampling=sub, restart_interval=ri)
+            )
+            assert base == prog, f"restart mismatch at {w}x{h} {sub} ri={ri}"
+        w, h = 48, 32
+        smooth = bytes(
+            min(255, (x + y) // 2) for y in range(h) for x in range(w) for _ in range(3)
+        )
+        for ri in (1, 2, 4):
+            base = jpeg_parse(jpeg_encode(w, h, smooth))
+            prog = jpeg_parse(jpeg_encode_progressive(w, h, smooth, restart_interval=ri))
+            assert base == prog
