@@ -44,7 +44,9 @@ HEADLINE = [
     "j6_a9_vote_stats",
     "t2_t4_sampling",
     "f1_u1_match_pad",
-    "q1_pricing_summary",
+    "olap_hll_rollup_cube",  # carries the folded q1 pricing-summary branch (r7)
+    "tmp_asof_range_join",
+    "txt_tfidf_topterms",
     "dd_exact_clean_corpus",
     "dd_ngram_jaccard",
     "sim_cosine_topk",

@@ -1502,6 +1502,11 @@ def a7_a8_model_setops(spark, sf_dir):
     SELECT 'no_orders' AS kind, cast(c_custkey AS VARCHAR) AS a, c_name AS b
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'u3_' || CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE 'no' END AS kind,
+           cast(o_orderkey AS VARCHAR) AS a,
+           CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE 'no' END AS b
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
     """,
 )
 def j3_j4_anti_negatives(spark, sf_dir):
@@ -1529,7 +1534,19 @@ def j3_j4_anti_negatives(spark, sf_dir):
         F.col("c_custkey").cast("string").alias("a"),
         F.col("c_name").alias("b"),
     )
-    return neg.unionByName(no_orders)
+    # U3 — labeled union of positive and negative pools
+    # (string_processor.py:307); folded from the former standalone
+    # u3_union_pos_neg row (VERDICT r6 #6, 50-row driver cap).
+    label = F.when(F.col("o_orderstatus") == "F", "yes").otherwise("no")
+    u3 = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.concat(F.lit("u3_"), label).alias("kind"),
+            F.col("o_orderkey").cast("string").alias("a"),
+            label.alias("b"),
+        )
+    )
+    return neg.unionByName(no_orders).unionByName(u3)
 
 
 # P5/P6 — fanout band filter (string_processor.py:95, 29). The band is
@@ -3041,30 +3058,144 @@ _Q1_SQL = """
 """
 
 
-@register("q1_pricing_summary", _Q1_SQL)
-def q1_pricing_summary(spark, sf_dir):
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q1_SQL)
+# (The former standalone q1_pricing_summary row is folded into
+# olap_hll_rollup_cube's 'q1' branch, and u3_union_pos_neg into
+# j3_j4_anti_negatives' 'u3_*' rows — VERDICT r6 #6 registry-slot audit
+# under the driver's 50-row cap; both semantics stay driver-graded. The
+# two freed slots grade the r7 temporal-join and TF-IDF surfaces below.)
 
 
-# U3 — labeled union of positive and negative pools (string_processor.py:307).
+# Temporal joins (operators/temporal.py) — the two classic event-log joins
+# Spark lacks as built-ins, in one labeled frame over events (orders'
+# 1995-2001 dates and events' 2024 timestamps never overlap, so a
+# cross-table variant would be trivially empty — the p5_p6 lesson).
+# 'asof' rows: per purchase event, the same user's latest click
+# at-or-before the purchase — implemented as UNION + carry-forward WINDOW
+# (one key shuffle, zero non-equi joins); the oracle states the same
+# semantics as the naive inequality join + row_number, so a carry / tie /
+# microsecond-truncation bug on either side hash-fails (1,838 matches at
+# sf0.01). 'range' rows: per purchase, count + value-sum of the same
+# user's views within ±1 day — implemented as the bucketed equi-join plan
+# (sequence-exploded buckets, exact BETWEEN after co-location); the
+# oracle is the naive BETWEEN join aggregated (1,177 rows at sf0.01).
 @register(
-    "u3_union_pos_neg",
+    "tmp_asof_range_join",
     """
-    SELECT o_orderkey AS key, 'yes' AS label FROM orders WHERE o_orderstatus = 'F'
+    WITH asof_pairs AS (
+      SELECT p.event_id AS pid, c.event_id AS cid,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT 'asof' AS kind, pid AS key, cid AS match_id,
+           CAST(lag_us AS BIGINT) AS lag_us,
+           CAST(NULL AS BIGINT) AS n_w, CAST(NULL AS DOUBLE) AS sum_v
+    FROM asof_pairs WHERE rn = 1
     UNION ALL
-    SELECT o_orderkey AS key, 'no' AS label FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'range' AS kind, p.event_id AS key,
+           CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS lag_us,
+           count(*) AS n_w, round(sum(v.value), 4) AS sum_v
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts + INTERVAL 1 DAY
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
     """,
 )
-def u3_union_pos_neg(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    pos = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_orderkey").alias("key"), F.lit("yes").alias("label")
+def tmp_asof_range_join(spark, sf_dir):
+    from .operators.temporal import asof_join, range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    neg = o.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_orderkey").alias("key"), F.lit("no").alias("label")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id")
     )
-    return pos.unionByName(neg)
+    asof = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["c_event_id"],
+    )
+    asof_rows = asof.filter(F.col("asof_c_event_id").isNotNull()).select(
+        F.lit("asof").alias("kind"),
+        F.col("event_id").alias("key"),
+        F.col("asof_c_event_id").alias("match_id"),
+        F.col("asof_lag_us").alias("lag_us"),
+        F.lit(None).cast("long").alias("n_w"),
+        F.lit(None).cast("double").alias("sum_v"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    bounded = purchases.withColumn(
+        "lo", F.col("ts") - F.expr("INTERVAL 1 DAY")
+    ).withColumn("hi", F.col("ts") + F.expr("INTERVAL 1 DAY")).drop("ts")
+    pairs = range_join_bucketed(
+        bounded,
+        views,
+        key="user_id",
+        lo="lo",
+        hi="hi",
+        right_val="ts",
+        bucket_width_s=86400,
+    )
+    range_rows = (
+        pairs.groupBy("event_id")
+        .agg(F.count("*").alias("n_w"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(
+            F.lit("range").alias("kind"),
+            F.col("event_id").alias("key"),
+            F.lit(None).cast("long").alias("match_id"),
+            F.lit(None).cast("long").alias("lag_us"),
+            "n_w",
+            "sum_v",
+        )
+    )
+    return asof_rows.unionByName(range_rows)
+
+
+# TF-IDF top terms (operators/terms.py) — the keyword leg of a quality /
+# topic filter: two hash aggs (doc-term TF, vocab-sized DF), a broadcast
+# 1-row corpus digest, smooth-idf scoring, deterministic top-3 per doc.
+# The oracle recomputes the entire pipeline from raw text in SQL, so a
+# tokenizer / idf / ranking drift on either side hash-fails.
+@register(
+    "txt_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE length(t) >= 2
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, tf, df, score
+    FROM (SELECT scored.*,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def txt_tfidf_topterms(spark, sf_dir):
+    from .operators.terms import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3).withColumn(
+        "rnk", F.col("rnk").cast("long")
+    )
 
 
 # Rollup + Cube + HLL — hierarchical and full grouping-set totals plus the
@@ -3082,7 +3213,8 @@ def u3_union_pos_neg(spark, sf_dir):
            coalesce(l_returnflag, 'ALL') AS dim1,
            coalesce(l_linestatus, 'ALL') AS dim2,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           count(*) AS n
+           count(*) AS n,
+           CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS avg_disc
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     UNION ALL
@@ -3090,16 +3222,32 @@ def u3_union_pos_neg(spark, sf_dir):
            coalesce(o_orderstatus, 'ALL') AS dim1,
            coalesce(o_orderpriority, 'ALL') AS dim2,
            CAST(NULL AS DOUBLE) AS revenue,
-           count(*) AS n
+           count(*) AS n,
+           CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS avg_disc
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     UNION ALL
     SELECT 'hll' AS op, 'l_partkey' AS dim1, 'within_5pct' AS dim2,
            CAST(NULL AS DOUBLE) AS revenue,
-           count(DISTINCT l_partkey) AS n
+           count(DISTINCT l_partkey) AS n,
+           CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS avg_disc
     FROM lineitem
+    UNION ALL
+    SELECT 'q1' AS op, l_returnflag AS dim1, l_linestatus AS dim2,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
     """,
 )
 def olap_hll_rollup_cube(spark, sf_dir):
+    def widen(df):
+        return df.withColumn("sum_qty", F.lit(None).cast("double")).withColumn(
+            "avg_disc", F.lit(None).cast("double")
+        )
+
     li = load(spark, sf_dir, "lineitem")
     rollup = (
         li.rollup("l_returnflag", "l_linestatus")
@@ -3149,7 +3297,21 @@ def olap_hll_rollup_cube(spark, sf_dir):
             F.col("exact_parts").alias("n"),
         )
     )
-    return rollup.unionByName(cube).unionByName(hll)
+    # Q1 branch: the TPC-H-style pricing summary through the spark.sql API
+    # (Catalyst compiles it to the same plan as the DataFrame form —
+    # demonstrating the SQL surface). Folded from the former standalone
+    # q1_pricing_summary row (50-entry driver cap, VERDICT r6 #6).
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    q1 = spark.sql(_Q1_SQL).select(
+        F.lit("q1").alias("op"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "revenue",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("avg_disc").cast("double").alias("avg_disc"),
+    )
+    return widen(rollup).unionByName(widen(cube)).unionByName(widen(hll)).unionByName(q1)
 
 
 # Window frame + JSON extraction — per-user running totals ordered by time
