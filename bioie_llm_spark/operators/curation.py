@@ -94,6 +94,61 @@ def contamination_check(
     )
 
 
+def contamination_check_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    fpp: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The contamination screen with the benchmark gram set replaced by a
+    Bloom filter (operators/membership) — the 100 TB shape: ~10 bits per
+    benchmark gram at 1% FP instead of the full broadcast string set,
+    zero false negatives by construction (the screen can over-flag but
+    never leak a contaminated doc).
+
+    Returns the exact screen's columns plus ``n_hit_bloom`` (the Bloom
+    screen's per-doc hit count, >= n_hit always) and ``bloom_ge_exact``
+    (that invariant as a per-doc boolean).
+    """
+    from .membership import bloom_build, bloom_parameters, bloom_probe
+
+    nonempty = lambda col: F.filter(col, lambda g: g != "")
+    bench_grams = (
+        benchmark.select(
+            F.explode(nonempty(word_shingles(F.col(bench_text_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    # one tiny count job sizes the filter; the build is one more pass
+    n_bench = bench_grams.count()
+    m_bits, k = bloom_parameters(n_bench, fpp)
+    bloom = bloom_build(bench_grams, "g", m_bits, k)
+
+    ex = docs.select(
+        F.col(id_col),
+        nonempty(word_shingles(F.col(text_col), n)).alias("grams"),
+    ).select(
+        id_col,
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("g"),
+    )
+    probed = bloom_probe(ex, "g", bloom, k, out_col="__bloom")
+    exact = contamination_check(
+        docs, benchmark, n=n, threshold=threshold, id_col=id_col,
+        text_col=text_col, bench_text_col=bench_text_col,
+    )
+    bloom_hits = probed.groupBy(id_col).agg(
+        F.sum(F.col("__bloom").cast("long")).alias("n_hit_bloom")
+    )
+    return exact.join(bloom_hits, id_col).withColumn(
+        "bloom_ge_exact", F.col("n_hit_bloom") >= F.col("n_hit")
+    )
+
+
 # ------------------------------------------------------------ paragraph dedup
 def paragraph_dedup(
     docs: DataFrame,
