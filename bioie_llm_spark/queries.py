@@ -3011,9 +3011,29 @@ _CC_EDGES_SQL = """
 """
 
 
-@register(
-    "cc_components",
-    f"""
+_PR_SCALE = 10**12
+_PR_ITERATIONS = 10
+
+
+def _cc_pr_sql() -> str:
+    """cc oracle (recursive-CTE closure) + the fixed-point PageRank
+    recurrence UNROLLED to _PR_ITERATIONS chained CTEs — every arithmetic
+    step is integer (// floor division), so DuckDB must reproduce the
+    engine's ranks bit-for-bit; no float tolerance anywhere."""
+    its = "".join(
+        f""",
+    it{i} AS (
+      SELECT s.b AS node,
+             CAST((SELECT ({_PR_SCALE} // n) * 15 // 100 FROM nn)
+                  + (85 * sum(t.r // d.d)) // 100 AS BIGINT) AS r
+      FROM it{i - 1} t
+      JOIN deg d ON d.node = t.node
+      JOIN sym s ON s.a = t.node
+      GROUP BY s.b
+    )"""
+        for i in range(1, _PR_ITERATIONS + 1)
+    )
+    return f"""
     WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
     sym AS (
       SELECT src AS a, dst AS b FROM edges
@@ -3023,12 +3043,31 @@ _CC_EDGES_SQL = """
       SELECT a, a FROM sym
       UNION
       SELECT s.b, r.label FROM reach r JOIN sym s ON r.node = s.a
-    )
-    SELECT node, min(label) AS component FROM reach GROUP BY node
-    """,
-)
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    it0 AS (
+      SELECT node, CAST((SELECT {_PR_SCALE} // n FROM nn) AS BIGINT) AS r FROM deg
+    ){its}
+    SELECT 'cc' AS kind, node, min(label) AS component,
+           CAST(NULL AS BIGINT) AS rank_int
+    FROM reach GROUP BY node
+    UNION ALL
+    SELECT 'pr' AS kind, node, CAST(NULL AS VARCHAR) AS component,
+           r AS rank_int
+    FROM it{_PR_ITERATIONS}
+    """
+
+
+# CC + PageRank over the same graph, one labeled frame (r7: the 'pr' rows
+# fold the fixed-point PageRank surface into this slot under the 50-row
+# cap — operators/graph.py rationale: integer fixed-point makes the
+# iterative result partition- and engine-invariant, so the oracle's
+# unrolled recurrence must match exactly).
+@register("cc_components", _cc_pr_sql)
 def cc_components(spark, sf_dir):
     from .operators.canonical import connected_components
+    from .operators.graph import pagerank_fixed_point
 
     li = load(spark, sf_dir, "lineitem")
     edges = (
@@ -3039,7 +3078,21 @@ def cc_components(spark, sf_dir):
         )
         .distinct()
     )
-    return connected_components(edges)
+    cc = connected_components(edges).select(
+        F.lit("cc").alias("kind"),
+        "node",
+        "component",
+        F.lit(None).cast("long").alias("rank_int"),
+    )
+    pr = pagerank_fixed_point(
+        edges, iterations=_PR_ITERATIONS, scale=_PR_SCALE
+    ).select(
+        F.lit("pr").alias("kind"),
+        "node",
+        F.lit(None).cast("string").alias("component"),
+        "rank_int",
+    )
+    return cc.unionByName(pr)
 
 
 # ---------------------------------------------------------------------------
