@@ -307,7 +307,8 @@ def _png_encode(w: int, h: int, rgb: bytes) -> bytes:
 def _image_parse(payload: bytes | None) -> tuple[str, int, int, bytes]:
     """Format-sniffing decode: (fmt, w, h, rgb) for the formats the stdlib
     path understands — 'ppm' (P6), 'png' (8-bit RGB), 'bmp' (24-bit
-    BI_RGB) and 'jpeg' (baseline sequential, r6). Anything else raises
+    BI_RGB), 'jpeg' (baseline + progressive, r6/r7) and 'gif' (LZW,
+    87a/89a incl. interlace, r7). Anything else raises
     NotImplementedError for the stub fallback."""
     if payload and payload.startswith(_PNG_SIG):
         w, h, rgb = _png_parse(payload)
@@ -320,6 +321,11 @@ def _image_parse(payload: bytes | None) -> tuple[str, int, int, bytes]:
 
         w, h, rgb = jpeg_parse(payload)
         return "jpeg", w, h, rgb
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_parse
+
+        w, h, rgb = gif_parse(payload)
+        return "gif", w, h, rgb
     w, h, rgb = _ppm_parse(payload)
     return "ppm", w, h, rgb
 
@@ -414,6 +420,12 @@ def _real_decode(op: str, *args):
             from .jpeg_codec import jpeg_encode
 
             return jpeg_encode(out_w, out_h, resized)
+        if fmt == "gif":
+            from .gif_codec import gif_encode
+
+            # NN-resample only repeats source colors, so the <=256-color
+            # GIF invariant survives the resize by construction
+            return gif_encode(out_w, out_h, resized)
         return _ppm_encode(out_w, out_h, resized)
     raise NotImplementedError(op)
 
@@ -440,11 +452,13 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_sha string"
 
 def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic assets: kind and metadata hash-assigned, pure
-    expressions. All four image format-selectors carry a REAL 8x8
+    expressions (format selector round-robin by id). All five image
+    format-selectors carry a REAL 8x8
     payload — binary PPM (P6) for selector 0 (header + 192 md5-derived RGB
     bytes, pure expressions), minimal 8-bit-RGB PNG for selector 1,
-    24-bit BI_RGB BMP for selector 2 and baseline-sequential JPEG for
-    selector 3 (same md5-chain pixels, container-
+    24-bit BI_RGB BMP for selector 2, baseline-or-progressive JPEG for
+    selector 3 and GIF89a (half interlaced) for selector 4 (same
+    md5-chain pixels, container-
     framed by an Arrow-batched pass since CRC/deflate/BGR-flip/DCT are not
     expressible in Catalyst) — and half the audio assets carry a REAL
     16-bit PCM RIFF/WAVE payload (64 mono samples at the metadata sample
@@ -474,12 +488,16 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         ]
     )
     ppm = F.concat(F.to_binary(F.lit("P6\n8 8\n255\n"), F.lit("UTF-8")), F.unhex(rgb_hex))
-    fmt_sel = F.pmod(F.xxhash64("id", F.lit(5)), F.lit(4))
+    # round-robin (not hash) format selector: guarantees every container
+    # branch appears with ~n/15 rows at any corpus size (a 5-way hash
+    # split left 1 JPEG in 64 assets — too thin to gate a decode path)
+    fmt_sel = F.pmod(F.col("id"), F.lit(5))
     payload = F.when((kind == "image") & (fmt_sel == 0), ppm).otherwise(junk)
     fmt = (
         F.when((kind == "image") & (fmt_sel == 1), F.lit("png"))
         .when((kind == "image") & (fmt_sel == 2), F.lit("bmp"))
         .when((kind == "image") & (fmt_sel == 3), F.lit("jpeg"))
+        .when((kind == "image") & (fmt_sel == 4), F.lit("gif"))
         .when((kind == "audio") & (fmt_sel < 2), F.lit("wav"))
         .otherwise(F.lit(""))
     )
@@ -501,7 +519,7 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     def frame_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        def enc(f: str, p: bytes, hx: str) -> bytes:
+        def enc(aid: int, f: str, p: bytes, hx: str) -> bytes:
             if f == "png":
                 return _png_encode(8, 8, bytes.fromhex(hx))
             if f == "bmp":
@@ -514,9 +532,20 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
                 # decode to identical pixels, so the pinned features_hash
                 # / resize_hash goldens discriminate: a broken progressive
                 # path would route these rows to the stub and drift both.
-                if int(hx[3], 16) % 2:
+                # Round-robin on asset_id (exactly alternating), not a hash
+                # digit — a thin hash split once left 1 progressive row in
+                # a 64-asset corpus.
+                if (aid // 5) % 2:
                     return jpeg_encode_progressive(8, 8, bytes.fromhex(hx))
                 return jpeg_encode(8, 8, bytes.fromhex(hx))
+            if f == "gif":
+                from .gif_codec import gif_encode
+
+                # half the GIF fixtures are INTERLACED — both orders
+                # decode to identical pixels, so the pinned features /
+                # resize hashes gate the deinterlace path the same way
+                # the SOF2 split gates progressive JPEG
+                return gif_encode(8, 8, bytes.fromhex(hx), interlace=(aid // 5) % 2 == 1)
             if f == "wav":
                 raw = bytes.fromhex(hx)
                 return _wav_encode(16000, 1, list(struct.unpack("<64h", raw)))
@@ -525,8 +554,10 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                enc(f, p, hx)
-                for f, p, hx in zip(pdf["__fmt"], pdf["payload"], pdf["__hex"])
+                enc(int(aid), f, p, hx)
+                for aid, f, p, hx in zip(
+                    pdf["asset_id"], pdf["__fmt"], pdf["payload"], pdf["__hex"]
+                )
             ]
             yield pdf.drop(columns=["__fmt", "__hex"])
 

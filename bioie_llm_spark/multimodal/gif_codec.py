@@ -1,0 +1,258 @@
+"""Pure-stdlib GIF87a/89a codec for the multimodal decode dispatch.
+
+Decoder: logical screen descriptor, global/local color tables,
+extension-block skipping (GCE/comment/application), image descriptor
+with interlace support, and the full variable-width LZW decompressor
+(clear/end codes, dictionary growth to 12 bits, deferred-clear
+tolerant). Covers the containers real web corpora serve; animation
+frames beyond the first raise NotImplementedError so the per-row
+dispatch falls back to the declared stub (same policy as the JPEG
+codec's arithmetic/12-bit branches).
+
+Encoder: the deterministic fixture twin — palette built from the
+image's distinct colors (power-of-two sized, index order = first
+appearance), non-interlaced or interlaced single frame, variable-width
+LZW with the standard initial clear code. Round-trip equality is the
+test contract: parse(encode(rgb)) == rgb exactly (GIF is lossless).
+
+Spec: GIF89a specification (CompuServe, 1990) + GIF87a; LZW per the
+spec's Appendix. No third-party deps, ~200 lines.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["gif_parse", "gif_encode"]
+
+
+# --------------------------------------------------------------- decoding
+class _BitReader:
+    """LSB-first bit reader over the concatenated LZW data stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise NotImplementedError("gif: truncated LZW stream")
+            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return out
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """Variable-width GIF LZW. Width grows when the next code value to be
+    assigned reaches 2^width (the canonical giflib-compatible rule: the
+    decoder may receive a code equal to its own next_code — the KwKwK
+    case — so width must already cover it). Table full at 4096 freezes
+    growth until a clear code (deferred-clear tolerant)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    br = _BitReader(data)
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, width = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = br.read(width)
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise NotImplementedError("gif: first code not a root")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise NotImplementedError("gif: code out of sequence")
+        if prev is not None and next_code <= 4095:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+    out: list[bytes | None] = [None] * h
+    src = iter(rows)
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y] = next(src)
+    return b"".join(out)  # type: ignore[arg-type]
+
+
+def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
+    """GIF payload -> (width, height, raw RGB bytes) of the first frame.
+    Raises NotImplementedError on anything the decoder does not model."""
+    if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("gif: bad signature")
+    if len(payload) < 13:
+        raise NotImplementedError("gif: truncated header")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise NotImplementedError("gif: truncated extension")
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise NotImplementedError(f"gif: unexpected block 0x{b:02x}")
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise NotImplementedError("gif: no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise NotImplementedError("gif: truncated image data")
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise NotImplementedError("gif: missing block terminator")
+        pos += 1
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx) < w * h:
+            raise NotImplementedError("gif: short pixel data")
+        if ipacked & 0x40:
+            idx = _deinterlace(idx, w, h)
+        rgb = bytearray(w * h * 3)
+        n_colors = len(ct) // 3
+        for i, c in enumerate(idx):
+            if c >= n_colors:
+                raise NotImplementedError("gif: palette index out of range")
+            rgb[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
+        return w, h, bytes(rgb)
+    raise NotImplementedError("gif: no image block")
+
+
+# --------------------------------------------------------------- encoding
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, code: int, width: int):
+        for i in range(width):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    bw = _BitWriter()
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    bw.write(clear, width)
+    run = b""
+    for c in indices:
+        cand = run + bytes([c])
+        if cand in table:
+            run = cand
+            continue
+        bw.write(table[run], width)
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            bw.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([c])
+    if run:
+        bw.write(table[run], width)
+    bw.write(end, width)
+    return bw.tobytes()
+
+
+def gif_encode(w: int, h: int, rgb: bytes, interlace: bool = False) -> bytes:
+    """Single-frame GIF89a with a global color table built from the
+    image's distinct colors (first-appearance order; must be <= 256)."""
+    assert len(rgb) == w * h * 3, "rgb length must be w*h*3"
+    palette: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(w * h):
+        px = bytes(rgb[3 * i : 3 * i + 3])
+        if px not in palette:
+            if len(palette) == 256:
+                raise NotImplementedError(
+                    "gif_encode: more than 256 distinct colors (needs "
+                    "quantization, out of scope for the fixture twin)"
+                )
+            palette[px] = len(palette)
+        indices.append(palette[px])
+    size_exp = 0
+    while (2 << size_exp) < max(len(palette), 2):
+        size_exp += 1
+    n_entries = 2 << size_exp
+    ct = b"".join(sorted(palette, key=palette.get)) + b"\x00" * (
+        3 * (n_entries - len(palette))
+    )
+    min_code = max(2, size_exp + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp & 7), 0, 0)
+    out += ct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        rows = [bytes(indices[y * w : (y + 1) * w]) for y in range(h)]
+        order = [y for s, st_ in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s, h, st_)]
+        indices = bytearray(b"".join(rows[y] for y in order))
+    out.append(min_code)
+    lzw = _lzw_encode(min_code, bytes(indices))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

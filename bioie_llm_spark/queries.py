@@ -3978,6 +3978,9 @@ _MM_BMP_HDR_HEX = (
 )
 # RIFF....WAVE sniff for real-audio classification (offsets 0-3 and 8-11)
 _MM_RIFF_HEX, _MM_WAVE_HEX = "52494646", "57415645"
+# "GIF89a" + 64x64 LE screen descriptor — the writer's content-independent
+# resized-GIF prefix (palette bytes beyond this vary with content)
+_MM_GIF64_HDR_HEX = "47494638396140004000"
 
 
 def _mm_jpg_hdr_hex() -> str:
@@ -4043,12 +4046,15 @@ def _mm_binary_pipeline_oracle() -> str | None:
              (left(hex(payload), {len(_MM_BMP_HDR_HEX)}) = '{_MM_BMP_HDR_HEX}'
               AND octet_length(payload) = {54 + 64 * 64 * 3}) AS is_bmp,
              left(hex(payload), {len(jpg_hdr)}) = '{jpg_hdr}' AS is_jpg,
+             left(hex(payload), {len(_MM_GIF64_HDR_HEX)}) = '{_MM_GIF64_HDR_HEX}'
+               AS is_gif,
              octet_length(payload) = {64 * 64} AS is_stub
       FROM read_parquet('{glob("resized")}')
     ),
     r AS (
       SELECT CAST(sum(CASE WHEN kind = 'image' AND width = 64 AND height = 64
-                            AND (is_ppm OR is_png OR is_bmp OR is_jpg OR is_stub)
+                            AND (is_ppm OR is_png OR is_bmp OR is_jpg OR is_gif
+                                 OR is_stub)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resized_ok,
              CAST(sum(CASE WHEN kind = 'image' AND is_ppm THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resized_real,
@@ -4057,7 +4063,9 @@ def _mm_binary_pipeline_oracle() -> str | None:
              CAST(sum(CASE WHEN kind = 'image' AND is_bmp THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resized_real_bmp,
              CAST(sum(CASE WHEN kind = 'image' AND is_jpg THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_resized_real_jpeg
+                  AS BIGINT) AS n_resized_real_jpeg,
+             CAST(sum(CASE WHEN kind = 'image' AND is_gif THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resized_real_gif
       FROM rz
     ),
     fr AS (
@@ -4068,7 +4076,7 @@ def _mm_binary_pipeline_oracle() -> str | None:
     SELECT f.n_assets, g.features_hash, k.n_images, k.n_videos,
            k.n_audio, k.n_audio_real, k.n_src_jpeg_prog,
            r.n_resized_ok, r.n_resized_real, r.n_resized_real_png,
-           r.n_resized_real_bmp, r.n_resized_real_jpeg,
+           r.n_resized_real_bmp, r.n_resized_real_jpeg, r.n_resized_real_gif,
            g.resize_hash, fr.n_frames, fr.n_frame_videos, g.frames_hash,
            (r.n_resized_ok = k.n_images) AS resize_covers_images,
            (fr.n_frame_videos = k.n_videos) AS frames_cover_videos
@@ -4144,7 +4152,9 @@ def mm_binary_pipeline(spark, sf_dir):
     is_real_jpg = F.substring("payload", 1, len(jpg_hdr_hex) // 2) == F.unhex(
         F.lit(jpg_hdr_hex)
     )
-    is_real = is_real_ppm | is_real_png | is_real_bmp | is_real_jpg
+    # a real resized GIF: GIF89a signature + the 64x64 screen descriptor
+    is_real_gif = F.substring("payload", 1, 10) == F.unhex(F.lit(_MM_GIF64_HDR_HEX))
+    is_real = is_real_ppm | is_real_png | is_real_bmp | is_real_jpg | is_real_gif
     is_stub = F.length("payload") == 64 * 64
     r_dig = spark.read.parquet(f"{root}/resized").agg(
         F.sum(
@@ -4167,6 +4177,9 @@ def mm_binary_pipeline(spark, sf_dir):
         F.sum(((F.col("kind") == "image") & is_real_jpg).cast("int"))
         .cast("long")
         .alias("n_resized_real_jpeg"),
+        F.sum(((F.col("kind") == "image") & is_real_gif).cast("int"))
+        .cast("long")
+        .alias("n_resized_real_gif"),
         F.bit_xor(
             F.xxhash64(
                 "asset_id", F.sha2("payload", 256), F.col("meta.width"), F.col("meta.height")

@@ -53,6 +53,10 @@ def _is_jpg(payload: bytes) -> bool:
     return bytes(payload).startswith(b"\xff\xd8")
 
 
+def _is_gif(payload: bytes) -> bool:
+    return bytes(payload)[:6] in (b"GIF87a", b"GIF89a")
+
+
 def test_synth_assets_shape(spark):
     a = synth_assets(spark, 64)
     assert a.count() == 64
@@ -79,19 +83,26 @@ def test_synth_assets_shape(spark):
 
             assert jpeg_parse(p)[:2] == (8, 8)
             assert row["kind"] == "image"
+        elif _is_gif(p):
+            from bioie_llm_spark.multimodal.gif_codec import gif_parse
+
+            assert gif_parse(p)[:2] == (8, 8)
+            assert row["kind"] == "image"
         else:
             assert len(p) == JUNK_LEN
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"image", "audio", "video"}
-    # all six payload branches must be represented in the standard corpus
+    # all seven payload branches must be represented in the standard corpus
     payloads = [bytes(r["payload"]) for r in rows]
     assert any(_is_ppm(p) for p in payloads)
     assert any(_is_png(p) for p in payloads)
     assert any(_is_bmp(p) for p in payloads)
     assert any(_is_jpg(p) for p in payloads)
+    assert any(_is_gif(p) for p in payloads)
     assert any(_is_wav(p) for p in payloads)
     assert any(
-        not (_is_ppm(p) or _is_png(p) or _is_bmp(p) or _is_jpg(p) or _is_wav(p))
+        not (_is_ppm(p) or _is_png(p) or _is_bmp(p) or _is_jpg(p) or _is_gif(p)
+             or _is_wav(p))
         for p in payloads
     )
 
@@ -134,6 +145,12 @@ def test_extract_features_real_vs_stub_dispatch(spark):
             from bioie_llm_spark.multimodal.jpeg_codec import jpeg_parse
 
             w, h, rgb = jpeg_parse(p)
+            expect = _image_features(w, h, rgb, FEATURE_DIM)
+            n_real += 1
+        elif _is_gif(p):
+            from bioie_llm_spark.multimodal.gif_codec import gif_parse
+
+            w, h, rgb = gif_parse(p)
             expect = _image_features(w, h, rgb, FEATURE_DIM)
             n_real += 1
         elif _is_wav(p):
@@ -231,6 +248,16 @@ def test_resize_images(spark):
                 sw, sh, srgb = jpeg_parse(orig[aid])
                 want = _nn_resample(sw, sh, srgb, 32, 16)
                 assert max(abs(a - b) for a, b in zip(rgb, want)) <= 4
+            elif _is_gif(orig[aid]):
+                # REAL branch, GIF in -> GIF out (format preserved; GIF is
+                # lossless so the resample round-trips bit-exactly)
+                from bioie_llm_spark.multimodal.gif_codec import gif_parse
+
+                assert _is_gif(bytes(r["payload"]))
+                w, h, rgb = gif_parse(bytes(r["payload"]))
+                assert (w, h) == (32, 16)
+                sw, sh, srgb = gif_parse(orig[aid])
+                assert rgb == _nn_resample(sw, sh, srgb, 32, 16)
             else:
                 # stub branch: byte-per-pixel hash-derived stand-in
                 assert len(r["payload"]) == 32 * 16
@@ -818,3 +845,109 @@ class TestJpegProgressive:
             base = jpeg_parse(jpeg_encode(w, h, smooth))
             prog = jpeg_parse(jpeg_encode_progressive(w, h, smooth, restart_interval=ri))
             assert base == prog
+
+
+class TestGifCodec:
+    """Stdlib GIF87a/89a LZW codec (r7): lossless round-trips incl.
+    interlace and width-growth, real-file decode from independent
+    encoders when available, and declared-stub behavior on malformed
+    payloads."""
+
+    @staticmethod
+    def _pix(tag, w, h):
+        import hashlib
+
+        out = b""
+        i = 0
+        while len(out) < w * h * 3:
+            out += hashlib.md5(f"{tag}|{i}".encode()).digest()
+            i += 1
+        return out[: w * h * 3]
+
+    def test_roundtrip_lossless(self):
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse
+
+        palsrc = self._pix("gifpal", 199, 1)  # 199*3 bytes of palette colors
+        pal = [palsrc[3 * i : 3 * i + 3] for i in range(199)]
+        for w, h in [(1, 1), (8, 8), (13, 7), (31, 29)]:
+            raw = self._pix(f"g{w}x{h}", w, h)
+            # quantize to the 199-color palette: GIF holds <= 256 colors
+            rgb = b"".join(pal[raw[3 * i] % 199] for i in range(w * h))
+            for il in (False, True):
+                assert gif_parse(gif_encode(w, h, rgb, interlace=il)) == (w, h, rgb)
+
+    def test_width_growth_and_kwkwk(self):
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse
+
+        # grayscale gradient: up to 256 palette entries, forces several
+        # LZW width bumps; uniform image forces the KwKwK chain
+        w = h = 48
+        grad = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w) for _ in range(3))
+        assert gif_parse(gif_encode(w, h, grad))[2] == grad
+        flat = b"\x10\x20\x30" * (w * h)
+        assert gif_parse(gif_encode(w, h, flat))[2] == flat
+
+    def test_palette_boundary_256_colors(self):
+        import pytest
+
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse
+
+        rgb = b"".join(bytes([c, 255 - c, c ^ 0x5A]) for c in range(256))
+        assert gif_parse(gif_encode(16, 16, rgb))[2] == rgb
+        over = rgb + b"\x01\x02\x03" + rgb[3:]  # 512 pixels, 257 distinct colors
+        with pytest.raises(NotImplementedError):
+            gif_encode(16, 32, over)
+
+    def test_malformed_payloads_take_declared_stub(self):
+        import pytest
+
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse
+
+        ok = gif_encode(8, 8, self._pix("t", 8, 8))
+        for bad in (b"", b"GIF89a", ok[:20], ok[:-10], b"NOTAGIF" + ok):
+            with pytest.raises(NotImplementedError):
+                gif_parse(bad)
+
+    def test_real_gifs_from_independent_encoders(self):
+        """Decode GIFs written by third-party encoders (tk/Tix/idlelib
+        ship with the interpreter install) — validates the variable-width
+        LZW synchronization against the ecosystem, not just our own
+        writer. Skipped when no interpreter GIFs exist on the box."""
+        import glob
+
+        import pytest
+
+        from bioie_llm_spark.multimodal.gif_codec import gif_parse
+
+        paths = sorted(
+            glob.glob("/mnt/sandboxing/model_tools_env/*/python/install/lib/**/*.gif",
+                      recursive=True)
+        )[:12]
+        if not paths:
+            pytest.skip("no third-party GIFs on this box")
+        decoded = 0
+        for p in paths:
+            try:
+                w, h, rgb = gif_parse(open(p, "rb").read())
+            except NotImplementedError:
+                continue  # truncated/animated files take the declared stub
+            assert len(rgb) == w * h * 3
+            decoded += 1
+        assert decoded >= max(1, len(paths) // 2)
+
+    def test_dispatch_routes_gif(self):
+        from bioie_llm_spark.multimodal.binary_ops import _image_parse
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode
+
+        rgb = self._pix("disp", 8, 8)
+        fmt, w, h, got = _image_parse(gif_encode(8, 8, rgb, interlace=True))
+        assert (fmt, w, h, got) == ("gif", 8, 8, rgb)
+
+    def test_resize_keeps_gif_container(self):
+        from bioie_llm_spark.multimodal.binary_ops import _real_decode
+        from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse
+
+        src = gif_encode(8, 8, self._pix("rz", 8, 8))
+        out = _real_decode("resize_image_row", src, 64, 64)
+        w, h, rgb = gif_parse(out)
+        assert (w, h) == (64, 64) and len(rgb) == 64 * 64 * 3
