@@ -4,10 +4,11 @@ Decoder: logical screen descriptor, global/local color tables,
 extension-block skipping (GCE/comment/application), image descriptor
 with interlace support, and the full variable-width LZW decompressor
 (clear/end codes, dictionary growth to 12 bits, deferred-clear
-tolerant). Covers the containers real web corpora serve; animation
-frames beyond the first raise NotImplementedError so the per-row
-dispatch falls back to the declared stub (same policy as the JPEG
-codec's arithmetic/12-bit branches).
+tolerant). Covers the containers real web corpora serve; for animated
+GIFs the FIRST frame is decoded and later image blocks are ignored
+(the frame a thumbnailer samples). Malformed/truncated payloads raise
+NotImplementedError so the per-row dispatch falls back to the declared
+stub (same policy as the JPEG codec's arithmetic/12-bit branches).
 
 Encoder: the deterministic fixture twin — palette built from the
 image's distinct colors (power-of-two sized, index order = first

@@ -117,13 +117,16 @@ def contamination_check_bloom(
     from .membership import bloom_build, bloom_parameters, bloom_probe
 
     nonempty = lambda col: F.filter(col, lambda g: g != "")
+    # materialize the distinct benchmark gram set once (it is small — the
+    # broadcast side of the exact screen): the sizing count and the bloom
+    # build both read it, which would otherwise re-run explode+distinct
     bench_grams = (
         benchmark.select(
             F.explode(nonempty(word_shingles(F.col(bench_text_col), n))).alias("g")
         )
         .distinct()
+        .localCheckpoint()
     )
-    # one tiny count job sizes the filter; the build is one more pass
     n_bench = bench_grams.count()
     m_bits, k = bloom_parameters(n_bench, fpp)
     bloom = bloom_build(bench_grams, "g", m_bits, k)

@@ -62,7 +62,7 @@ def pagerank_fixed_point(
     base = (scale // n_nodes) * 15 // 100
 
     ranks = deg.select("node", F.lit(r0).cast("long").alias("r"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = ranks.join(deg, "node").select(
             "node", F.expr("r div d").alias("c")
         )
@@ -71,6 +71,9 @@ def pagerank_fixed_point(
             .groupBy(F.col("b").alias("node"))
             .agg(F.expr("(85 * sum(c)) div 100").alias("s"))
             .select("node", (F.lit(base) + F.col("s")).cast("long").alias("r"))
-            .localCheckpoint()
         )
+        # checkpoint every 3rd round (and the last): lineage stays bounded
+        # without paying a materialization action per round
+        if i % 3 == 2 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_int"))

@@ -3285,6 +3285,12 @@ def txt_tfidf_topterms(spark, sf_dir):
            CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS avg_disc
     FROM lineitem
     UNION ALL
+    SELECT 'pctl' AS op, 'l_extendedprice_p50' AS dim1, 'within_1pct' AS dim2,
+           CAST(NULL AS DOUBLE) AS revenue,
+           count(*) AS n,
+           CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS avg_disc
+    FROM lineitem
+    UNION ALL
     SELECT 'q1' AS op, l_returnflag AS dim1, l_linestatus AS dim2,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n,
@@ -3350,6 +3356,32 @@ def olap_hll_rollup_cube(spark, sf_dir):
             F.col("exact_parts").alias("n"),
         )
     )
+    # 'pctl' row (r7): the quantile-sketch scale path — percentile_approx
+    # (GK-sketch, mergeable map-side partials) vs the exact percentile,
+    # graded through the same error-bound-invariant pattern as 'hll': the
+    # sketch value is engine-specific, the <=1% relative-error bound and
+    # the row count are not.
+    pctl = (
+        li.agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.lit("pctl").alias("op"),
+            F.lit("l_extendedprice_p50").alias("dim1"),
+            F.when(
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                / F.col("exact_p50")
+                <= 0.01,
+                F.lit("within_1pct"),
+            )
+            .otherwise(F.lit("out_of_bound"))
+            .alias("dim2"),
+            F.lit(None).cast("double").alias("revenue"),
+            F.col("n"),
+        )
+    )
     # Q1 branch: the TPC-H-style pricing summary through the spark.sql API
     # (Catalyst compiles it to the same plan as the DataFrame form —
     # demonstrating the SQL surface). Folded from the former standalone
@@ -3364,7 +3396,13 @@ def olap_hll_rollup_cube(spark, sf_dir):
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("avg_disc").cast("double").alias("avg_disc"),
     )
-    return widen(rollup).unionByName(widen(cube)).unionByName(widen(hll)).unionByName(q1)
+    return (
+        widen(rollup)
+        .unionByName(widen(cube))
+        .unionByName(widen(hll))
+        .unionByName(widen(pctl))
+        .unionByName(q1)
+    )
 
 
 # Window frame + JSON extraction — per-user running totals ordered by time
