@@ -498,6 +498,7 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         .when((kind == "image") & (fmt_sel == 2), F.lit("bmp"))
         .when((kind == "image") & (fmt_sel == 3), F.lit("jpeg"))
         .when((kind == "image") & (fmt_sel == 4), F.lit("gif"))
+        .when((kind == "video") & (fmt_sel < 2), F.lit("agif"))
         .when((kind == "audio") & (fmt_sel < 2), F.lit("wav"))
         .otherwise(F.lit(""))
     )
@@ -519,7 +520,7 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     def frame_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        def enc(aid: int, f: str, p: bytes, hx: str) -> bytes:
+        def enc(aid: int, f: str, p: bytes, hx: str, nf: int) -> bytes:
             if f == "png":
                 return _png_encode(8, 8, bytes.fromhex(hx))
             if f == "bmp":
@@ -546,6 +547,27 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
                 # resize hashes gate the deinterlace path the same way
                 # the SOF2 split gates progressive JPEG
                 return gif_encode(8, 8, bytes.fromhex(hx), interlace=(aid // 5) % 2 == 1)
+            if f == "agif":
+                from .gif_codec import gif_encode_animated
+
+                # REAL animated GIF: meta.n_frames full 8x8 frames drawn
+                # from a 64-color md5-derived palette (GIF's <=256-color
+                # global table holds at any frame count)
+                pal_src = hashlib.md5(f"vp|{hx}".encode()).digest()
+                pal = []
+                i = 0
+                while len(pal) < 64:
+                    d = hashlib.md5(pal_src + i.to_bytes(2, "big")).digest()
+                    pal.extend(d[j : j + 3] for j in range(0, 15, 3))
+                    i += 1
+                pal = pal[:64]
+                frames = []
+                for k in range(int(nf)):
+                    sel = hashlib.md5(f"vf|{hx}|{k}".encode()).digest()
+                    while len(sel) < 64:
+                        sel += hashlib.md5(sel).digest()
+                    frames.append(b"".join(pal[sel[j] % 64] for j in range(64)))
+                return gif_encode_animated(8, 8, frames)
             if f == "wav":
                 raw = bytes.fromhex(hx)
                 return _wav_encode(16000, 1, list(struct.unpack("<64h", raw)))
@@ -554,9 +576,10 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                enc(int(aid), f, p, hx)
-                for aid, f, p, hx in zip(
-                    pdf["asset_id"], pdf["__fmt"], pdf["payload"], pdf["__hex"]
+                enc(int(aid), f, p, hx, int(m["n_frames"]))
+                for aid, f, p, hx, m in zip(
+                    pdf["asset_id"], pdf["__fmt"], pdf["payload"], pdf["__hex"],
+                    pdf["meta"],
                 )
             ]
             yield pdf.drop(columns=["__fmt", "__hex"])
@@ -689,19 +712,33 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
 
 def sample_frames(assets: DataFrame, every: int = 5) -> DataFrame:
     """Video frame sampling as a flat-map: one output row per sampled frame
-    index (0, every, 2*every, ... < n_frames); frame content stubbed as the
-    sha of (payload, frame_idx)."""
+    index (0, every, 2*every, ... < n_frames). Animated-GIF payloads get
+    REAL frame content (r7: frame_sha = sha256 of the decoded frame's raw
+    RGB via gif_parse_frames — the stdlib video-decode branch); anything
+    else falls back per row to the deterministic stub sha of
+    (payload, frame_idx), the same declared-stub policy as images/audio."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif_codec import gif_parse_frames
+
         for pdf in batches:
             rows = []
             for aid, payload, n_frames in zip(
                 pdf["asset_id"], pdf["payload"], pdf["n_frames"]
             ):
+                decoded = None
+                if payload and bytes(payload)[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        _, _, decoded = gif_parse_frames(bytes(payload))
+                    except NotImplementedError:
+                        _stub_fallback("sample_frames")
                 for idx in range(0, int(n_frames), every):
-                    sha = hashlib.sha256(
-                        (payload or b"") + idx.to_bytes(4, "big")
-                    ).hexdigest()
+                    if decoded is not None and idx < len(decoded):
+                        sha = hashlib.sha256(decoded[idx]).hexdigest()
+                    else:
+                        sha = hashlib.sha256(
+                            (payload or b"") + idx.to_bytes(4, "big")
+                        ).hexdigest()
                     rows.append((aid, idx, sha))
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
 

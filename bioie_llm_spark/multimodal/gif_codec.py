@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["gif_parse", "gif_encode"]
+__all__ = ["gif_parse", "gif_parse_frames", "gif_encode", "gif_encode_animated"]
 
 
 # --------------------------------------------------------------- decoding
@@ -100,9 +100,13 @@ def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
     return b"".join(out)  # type: ignore[arg-type]
 
 
-def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
-    """GIF payload -> (width, height, raw RGB bytes) of the first frame.
-    Raises NotImplementedError on anything the decoder does not model."""
+def gif_parse_frames(payload: bytes | None) -> tuple[int, int, list[bytes]]:
+    """GIF payload -> (width, height, [raw RGB per frame]) — ALL image
+    blocks decoded. Only FULL-FRAME animations are modeled: every image
+    descriptor must cover the whole logical screen and no frame may use
+    transparency (sub-rectangle / transparent frames need composition
+    over the previous canvas — those raise NotImplementedError for the
+    declared stub, same policy as the exotic JPEG variants)."""
     if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("gif: bad signature")
     if len(payload) < 13:
@@ -115,14 +119,22 @@ def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
 
+    frames: list[tuple[int, int, bytes]] = []
+    transparent_next = False
     while pos < len(payload):
         b = payload[pos]
         pos += 1
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            first = True
             while pos < len(payload) and payload[pos]:
+                if label == 0xF9 and first and payload[pos] >= 4:
+                    # Graphic Control Extension: bit 0 = transparency
+                    transparent_next = bool(payload[pos + 1] & 0x01)
+                first = False
                 pos += 1 + payload[pos]
             if pos >= len(payload):
                 raise NotImplementedError("gif: truncated extension")
@@ -130,8 +142,17 @@ def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
             continue
         if b != 0x2C:
             raise NotImplementedError(f"gif: unexpected block 0x{b:02x}")
-        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
+        if frames:
+            # an animation: every frame incl. the first must cover the
+            # whole screen (sub-rectangle frames compose over the previous
+            # canvas — out of scope, declared stub)
+            if (left, top, w, h) != (0, 0, sw, sh) or frames[0][:2] != (sw, sh):
+                raise NotImplementedError("gif: sub-rectangle animation frame")
+            if transparent_next:
+                raise NotImplementedError("gif: transparent animation frame")
+        transparent_next = False
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -162,8 +183,21 @@ def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
             if c >= n_colors:
                 raise NotImplementedError("gif: palette index out of range")
             rgb[3 * i : 3 * i + 3] = ct[3 * c : 3 * c + 3]
-        return w, h, bytes(rgb)
-    raise NotImplementedError("gif: no image block")
+        frames.append((w, h, bytes(rgb)))
+    if not frames:
+        raise NotImplementedError("gif: no image block")
+    # single still: its own rect (may be smaller than the screen, common
+    # in the wild); animations are full-screen by the checks above
+    w0, h0, _ = frames[0]
+    return w0, h0, [rgb for _, _, rgb in frames]
+
+
+def gif_parse(payload: bytes | None) -> tuple[int, int, bytes]:
+    """GIF payload -> (width, height, raw RGB bytes) of the FIRST frame
+    (the frame a thumbnailer samples); later frames are ignored here —
+    ``gif_parse_frames`` decodes them all."""
+    sw, sh, frames = gif_parse_frames(payload)
+    return sw, sh, frames[0]
 
 
 # --------------------------------------------------------------- encoding
@@ -256,4 +290,55 @@ def gif_encode(w: int, h: int, rgb: bytes, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_encode_animated(
+    w: int, h: int, frames: list[bytes], delay_cs: int = 4
+) -> bytes:
+    """Multi-frame GIF89a fixture twin: one global color table built over
+    ALL frames' distinct colors (<= 256 or NotImplementedError), a
+    Graphic Control Extension per frame (delay, no transparency), every
+    image descriptor full-screen — exactly the animation subset
+    ``gif_parse_frames`` models, so encode->parse_frames is the identity
+    per frame (GIF is lossless)."""
+    assert frames and all(len(f) == w * h * 3 for f in frames)
+    palette: dict[bytes, int] = {}
+    per_frame_indices: list[bytearray] = []
+    for rgb in frames:
+        idx = bytearray()
+        for i in range(w * h):
+            px = bytes(rgb[3 * i : 3 * i + 3])
+            if px not in palette:
+                if len(palette) == 256:
+                    raise NotImplementedError(
+                        "gif_encode_animated: more than 256 distinct colors"
+                    )
+                palette[px] = len(palette)
+            idx.append(palette[px])
+        per_frame_indices.append(idx)
+    size_exp = 0
+    while (2 << size_exp) < max(len(palette), 2):
+        size_exp += 1
+    n_entries = 2 << size_exp
+    ct = b"".join(sorted(palette, key=palette.get)) + b"\x00" * (
+        3 * (n_entries - len(palette))
+    )
+    min_code = max(2, size_exp + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_exp & 7), 0, 0)
+    out += ct
+    for idx in per_frame_indices:
+        # GCE: disposal 1 (leave), no transparency
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, bytes(idx))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

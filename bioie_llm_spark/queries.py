@@ -4110,15 +4110,24 @@ def _mm_binary_pipeline_oracle() -> str | None:
       SELECT CAST(count(*) AS BIGINT) AS n_frames,
              CAST(count(DISTINCT asset_id) AS BIGINT) AS n_frame_videos
       FROM read_parquet('{glob("frames")}')
+    ),
+    gv AS (
+      SELECT asset_id FROM assets
+      WHERE kind = 'video' AND left(hex(payload), 8) = '47494638'
+    ),
+    frr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_frames_real
+      FROM read_parquet('{glob("frames")}') f JOIN gv USING (asset_id)
     )
     SELECT f.n_assets, g.features_hash, k.n_images, k.n_videos,
            k.n_audio, k.n_audio_real, k.n_src_jpeg_prog,
            r.n_resized_ok, r.n_resized_real, r.n_resized_real_png,
            r.n_resized_real_bmp, r.n_resized_real_jpeg, r.n_resized_real_gif,
-           g.resize_hash, fr.n_frames, fr.n_frame_videos, g.frames_hash,
+           g.resize_hash, fr.n_frames, fr.n_frame_videos, frr.n_frames_real,
+           g.frames_hash,
            (r.n_resized_ok = k.n_images) AS resize_covers_images,
            (fr.n_frame_videos = k.n_videos) AS frames_cover_videos
-    FROM f, k, r, fr, ({pinned}) AS g
+    FROM f, k, r, fr, frr, ({pinned}) AS g
     """
 
 
@@ -4224,10 +4233,27 @@ def mm_binary_pipeline(spark, sf_dir):
             )
         ).alias("resize_hash"),
     )
-    fr_dig = spark.read.parquet(f"{root}/frames").agg(
-        F.count("*").cast("long").alias("n_frames"),
-        F.countDistinct("asset_id").alias("n_frame_videos"),
-        F.bit_xor(F.xxhash64("asset_id", "frame_idx", "frame_sha")).alias("frames_hash"),
+    # real-video classification (r7): frames of animated-GIF-carrying
+    # videos rode the real frame decode (frame_sha = sha of actual RGB);
+    # the oracle recomputes the count from the same two parquets, and the
+    # pinned frames_hash gates the decoded pixel content itself
+    gif_vids = assets.filter(
+        (F.col("kind") == "video")
+        & (F.substring("payload", 1, 4) == F.unhex(F.lit("47494638")))
+    ).select("asset_id", F.lit(True).alias("__gif"))
+    fr_dig = (
+        spark.read.parquet(f"{root}/frames")
+        .join(F.broadcast(gif_vids), "asset_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.countDistinct("asset_id").alias("n_frame_videos"),
+            F.sum(F.coalesce(F.col("__gif"), F.lit(False)).cast("int"))
+            .cast("long")
+            .alias("n_frames_real"),
+            F.bit_xor(F.xxhash64("asset_id", "frame_idx", "frame_sha")).alias(
+                "frames_hash"
+            ),
+        )
     )
     return (
         f_dig.crossJoin(kinds)

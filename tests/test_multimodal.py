@@ -84,10 +84,15 @@ def test_synth_assets_shape(spark):
             assert jpeg_parse(p)[:2] == (8, 8)
             assert row["kind"] == "image"
         elif _is_gif(p):
-            from bioie_llm_spark.multimodal.gif_codec import gif_parse
+            from bioie_llm_spark.multimodal.gif_codec import gif_parse_frames
 
-            assert gif_parse(p)[:2] == (8, 8)
-            assert row["kind"] == "image"
+            w, h, frames = gif_parse_frames(p)
+            assert (w, h) == (8, 8)
+            # still GIFs are images; animated GIFs are the video fixtures
+            if row["kind"] == "video":
+                assert len(frames) == row["meta"]["n_frames"]
+            else:
+                assert row["kind"] == "image" and len(frames) == 1
         else:
             assert len(p) == JUNK_LEN
     kinds = {r["kind"] for r in rows}
@@ -951,3 +956,89 @@ class TestGifCodec:
         out = _real_decode("resize_image_row", src, 64, 64)
         w, h, rgb = gif_parse(out)
         assert (w, h) == (64, 64) and len(rgb) == 64 * 64 * 3
+
+
+class TestAnimatedGif:
+    """Animated-GIF video branch (r7): multi-frame round-trips, the
+    composition cases the decoder deliberately refuses, and sample_frames'
+    real-vs-stub per-row dispatch."""
+
+    @staticmethod
+    def _frames(tag, n, w=8, h=8):
+        import hashlib
+
+        src = b"".join(
+            hashlib.md5(f"{tag}p|{i}".encode()).digest() for i in range(13)
+        )
+        pal = [src[3 * i : 3 * i + 3] for i in range(64)]
+        out = []
+        for k in range(n):
+            sel = hashlib.md5(f"{tag}f|{k}".encode()).digest()
+            while len(sel) < w * h:
+                sel += hashlib.md5(sel).digest()
+            out.append(b"".join(pal[sel[i] % 64] for i in range(w * h)))
+        return out
+
+    def test_animated_roundtrip(self):
+        from bioie_llm_spark.multimodal.gif_codec import (
+            gif_encode_animated,
+            gif_parse,
+            gif_parse_frames,
+        )
+
+        for n in (1, 2, 7, 30):
+            frames = self._frames(f"a{n}", n)
+            enc = gif_encode_animated(8, 8, frames)
+            assert gif_parse_frames(enc) == (8, 8, frames)
+            assert gif_parse(enc) == (8, 8, frames[0])  # first frame only
+
+    def test_subrect_and_transparent_animations_take_stub(self):
+        import struct
+
+        import pytest
+
+        from bioie_llm_spark.multimodal.gif_codec import (
+            gif_encode_animated,
+            gif_parse_frames,
+        )
+
+        enc = bytearray(gif_encode_animated(8, 8, self._frames("sr", 2)))
+        # corrupt the SECOND image descriptor into a sub-rectangle
+        second = enc.index(b"\x2c", enc.index(b"\x2c") + 1)
+        sub = bytearray(enc)
+        sub[second + 1 : second + 9] = struct.pack("<HHHH", 1, 1, 4, 4)
+        with pytest.raises(NotImplementedError):
+            gif_parse_frames(bytes(sub))
+        # set the transparency flag in the SECOND frame's GCE
+        tr = bytearray(enc)
+        gce2 = tr.index(b"\x21\xf9", tr.index(b"\x21\xf9") + 1)
+        tr[gce2 + 3] |= 0x01
+        with pytest.raises(NotImplementedError):
+            gif_parse_frames(bytes(tr))
+
+    def test_sample_frames_real_vs_stub(self, spark):
+        import hashlib
+
+        from bioie_llm_spark.multimodal.gif_codec import gif_parse_frames
+
+        assets = synth_assets(spark, 64)
+        vids = {
+            r["asset_id"]: (bytes(r["payload"]), r["meta"]["n_frames"])
+            for r in assets.collect()
+            if r["kind"] == "video"
+        }
+        real_ids = {a for a, (p, _) in vids.items() if _is_gif(p)}
+        assert len(real_ids) >= 2, "fixture must carry real animated GIFs"
+        got = {}
+        for r in sample_frames(assets, every=5).collect():
+            got[(r["asset_id"], r["frame_idx"])] = r["frame_sha"]
+        for aid, (p, n) in vids.items():
+            if aid in real_ids:
+                w, h, frames = gif_parse_frames(p)
+                assert len(frames) == n  # writer emits exactly meta.n_frames
+                for idx in range(0, n, 5):
+                    assert got[(aid, idx)] == hashlib.sha256(frames[idx]).hexdigest()
+            else:
+                for idx in range(0, n, 5):
+                    want = hashlib.sha256(p + idx.to_bytes(4, "big")).hexdigest()
+                    assert got[(aid, idx)] == want
