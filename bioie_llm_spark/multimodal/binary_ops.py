@@ -123,11 +123,41 @@ def _bmp_encode(w: int, h: int, rgb: bytes) -> bytes:
     return header + bytes(raster)
 
 
+def _mulaw_decode_byte(b: int) -> int:
+    """G.711 mu-law byte -> 16-bit linear sample (standard expansion)."""
+    u = ~b & 0xFF
+    exp = (u >> 4) & 7
+    x = (((u & 0x0F) << 3) + 0x84) << exp
+    x -= 0x84
+    return -x if u & 0x80 else x
+
+
+_MULAW_TABLE = [_mulaw_decode_byte(b) for b in range(256)]
+
+
+def _mulaw_encode_sample(x: int) -> int:
+    """16-bit linear -> G.711 mu-law byte (the exact inverse on the
+    decoder's 256 representable levels: encode(decode(b)) == b)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, 32635) + 0x84
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not x & mask:
+        exp -= 1
+        mask >>= 1
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
 def _wav_parse(payload: bytes | None) -> tuple[int, int, list[int]]:
-    """Parse a RIFF/WAVE payload (16-bit PCM — the canonical uncompressed
-    audio container) -> (sample_rate, n_channels, interleaved samples).
-    Pure struct chunk walk; raises NotImplementedError for any other
-    codec/width so the per-row dispatch falls back to the stub."""
+    """Parse a RIFF/WAVE payload -> (sample_rate, n_channels, interleaved
+    16-bit-scale samples). Covers 16-bit PCM (the canonical container),
+    8-bit unsigned PCM (scaled to 16-bit), and G.711 mu-law (fmt code 7,
+    telephony/web audio). Pure struct chunk walk; raises
+    NotImplementedError for any other codec/width so the per-row dispatch
+    falls back to the stub."""
     import struct
 
     if (
@@ -149,15 +179,35 @@ def _wav_parse(payload: bytes | None) -> tuple[int, int, list[int]]:
             if length < 16:
                 raise NotImplementedError("short fmt chunk")
             fmt_code, nch, sr, _, _, bits = struct.unpack("<HHIIHH", chunk[:16])
-            if fmt_code != 1:  # PCM only
-                raise NotImplementedError("non-PCM WAVE")
+            if fmt_code not in (1, 7):  # PCM or mu-law
+                raise NotImplementedError("unsupported WAVE codec")
         elif tag == b"data":
             data = chunk
-    if not sr or data is None or bits != 16 or not nch or nch > 2:
+    if not sr or data is None or not nch or nch > 2:
         raise NotImplementedError("unsupported WAVE variant")
-    n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
-    return sr, nch, samples
+    if fmt_code == 1 and bits == 16:
+        n = len(data) // 2
+        return sr, nch, list(struct.unpack(f"<{n}h", data[: n * 2]))
+    if fmt_code == 1 and bits == 8:  # unsigned 8-bit PCM, scale to 16-bit
+        return sr, nch, [(b - 128) << 8 for b in data]
+    if fmt_code == 7 and bits == 8:  # G.711 mu-law
+        return sr, nch, [_MULAW_TABLE[b] for b in data]
+    raise NotImplementedError("unsupported WAVE variant")
+
+
+def _wav_encode_mulaw(sample_rate: int, n_channels: int, samples: list[int]) -> bytes:
+    """G.711 mu-law RIFF/WAVE writer (fmt code 7, 8-bit) — the fixture
+    twin of the mu-law decode branch; input samples are 16-bit linear."""
+    import struct
+
+    data = bytes(_mulaw_encode_sample(x) for x in samples)
+    byte_rate = sample_rate * n_channels
+    fmt = struct.pack("<HHIIHH", 7, n_channels, sample_rate, byte_rate, n_channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _wav_encode(sample_rate: int, n_channels: int, samples: list[int]) -> bytes:
@@ -460,9 +510,9 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     selector 3 and GIF89a (half interlaced) for selector 4 (same
     md5-chain pixels, container-
     framed by an Arrow-batched pass since CRC/deflate/BGR-flip/DCT are not
-    expressible in Catalyst) — and half the audio assets carry a REAL
-    16-bit PCM RIFF/WAVE payload (64 mono samples at the metadata sample
-    rate, md5-chain-derived) — so every real-decode branch is exercised by
+    expressible in Catalyst) — and 2/5 of the audio assets carry a REAL
+    RIFF/WAVE payload — one selector 16-bit PCM, one G.711 mu-law (64
+    mono samples at the metadata sample rate, md5-chain-derived) — so every real-decode branch is exercised by
     the standard pipeline; the rest carry opaque md5-chain bytes that
     route through the deterministic stub — all branches under the same
     driver signal."""
@@ -499,7 +549,8 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         .when((kind == "image") & (fmt_sel == 3), F.lit("jpeg"))
         .when((kind == "image") & (fmt_sel == 4), F.lit("gif"))
         .when((kind == "video") & (fmt_sel < 2), F.lit("agif"))
-        .when((kind == "audio") & (fmt_sel < 2), F.lit("wav"))
+        .when((kind == "audio") & (fmt_sel == 0), F.lit("wav"))
+        .when((kind == "audio") & (fmt_sel == 1), F.lit("wavu"))
         .otherwise(F.lit(""))
     )
     meta = F.struct(
@@ -514,7 +565,7 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
         payload.alias("payload"),
         meta.alias("meta"),
         fmt.alias("__fmt"),
-        F.when(fmt == "wav", pcm_hex).otherwise(rgb_hex).alias("__hex"),
+        F.when(fmt.isin("wav", "wavu"), pcm_hex).otherwise(rgb_hex).alias("__hex"),
     )
 
     def frame_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -571,6 +622,11 @@ def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
             if f == "wav":
                 raw = bytes.fromhex(hx)
                 return _wav_encode(16000, 1, list(struct.unpack("<64h", raw)))
+            if f == "wavu":
+                # same md5-chain samples through the G.711 mu-law writer —
+                # the telephony/web-audio container branch (r7)
+                raw = bytes.fromhex(hx)
+                return _wav_encode_mulaw(16000, 1, list(struct.unpack("<64h", raw)))
             return p
 
         for pdf in batches:

@@ -74,7 +74,9 @@ def test_synth_assets_shape(spark):
             assert _bmp_parse(p)[:2] == (8, 8)
             assert row["kind"] == "image"
         elif _is_wav(p):
-            assert len(p) == WAV_LEN
+            # 16-bit PCM (WAV_LEN bytes) or mu-law (44 + 64 bytes) — both
+            # real decode branches as of r7
+            assert len(p) in (WAV_LEN, 44 + 64)
             sr, nch, samples = _wav_parse(p)
             assert (sr, nch, len(samples)) == (16000, 1, 64)
             assert row["kind"] == "audio"
@@ -471,11 +473,46 @@ def test_wav_roundtrip_property():
 
 def test_wav_parse_rejects_unsupported():
     good = _wav_encode(16000, 1, [0, 100, -100, 32767])
-    eight_bit = good.replace(b"\x10\x00data", b"\x08\x00data", 1)
-    ulaw = good.replace(b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x07\x00", 1)
-    for bad in (None, b"", b"RIFF\x00\x00\x00\x00WAVE", good[:-4], eight_bit, ulaw):
+    # r7: 8-bit PCM and mu-law are now REAL decode branches; the rejects
+    # are the genuinely unmodeled variants (IEEE float, 24-bit, >2 ch)
+    ieee_float = good.replace(
+        b"fmt \x10\x00\x00\x00\x01\x00", b"fmt \x10\x00\x00\x00\x03\x00", 1
+    )
+    bits24 = good.replace(b"\x10\x00data", b"\x18\x00data", 1)
+    three_ch = good.replace(
+        b"fmt \x10\x00\x00\x00\x01\x00\x01\x00", b"fmt \x10\x00\x00\x00\x01\x00\x03\x00", 1
+    )
+    for bad in (None, b"", b"RIFF\x00\x00\x00\x00WAVE", good[:-4],
+                ieee_float, bits24, three_ch):
         with pytest.raises(NotImplementedError):
             _wav_parse(bad)
+
+
+def test_wav_mulaw_and_pcm8_branches():
+    """r7: G.711 mu-law round-trips value-faithfully (0x7F/0xFF are the
+    standard two-zeros alias) and 8-bit PCM scales to the 16-bit range."""
+    import struct
+
+    from bioie_llm_spark.multimodal.binary_ops import (
+        _mulaw_decode_byte,
+        _mulaw_encode_sample,
+        _wav_encode_mulaw,
+    )
+
+    assert all(
+        _mulaw_decode_byte(_mulaw_encode_sample(_mulaw_decode_byte(b)))
+        == _mulaw_decode_byte(b)
+        for b in range(256)
+    )
+    assert sum(_mulaw_encode_sample(_mulaw_decode_byte(b)) != b for b in range(256)) == 1
+    samples = [_mulaw_decode_byte(b) for b in range(0, 256, 4)]
+    assert _wav_parse(_wav_encode_mulaw(8000, 1, samples)) == (8000, 1, samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes(range(0, 256, 4))
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    sr, nch, s8 = _wav_parse(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert s8 == [(b - 128) << 8 for b in data]
 
 
 def test_audio_features_discriminate():
