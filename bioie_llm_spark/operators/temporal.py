@@ -51,19 +51,52 @@ def asof_join(
     payload_cols: list[str],
     tiebreak: str | None = None,
     tolerance_us: int | None = None,
+    direction: str = "backward",
     suffix: str = "asof_",
 ) -> DataFrame:
-    """Backward as-of join: left columns + ``<suffix><payload>`` columns
-    from the latest right row at-or-before each left timestamp (per key),
-    NULL when no right row qualifies (or the match is older than
-    ``tolerance_us`` microseconds).
+    """As-of join: left columns + ``<suffix><payload>`` columns from the
+    matching right row per key, NULL when none qualifies (or the match is
+    further than ``tolerance_us`` microseconds away).
 
-    ``tiebreak`` (default: first payload column) deterministically picks
-    among right rows sharing (key, right_ts): the largest value wins.
+    ``direction`` (pandas ``merge_asof`` semantics):
+    - ``backward`` — latest right row at-or-before the left timestamp;
+    - ``forward``  — earliest right row at-or-after it (the same one-pass
+      carry, run over the reversed ordering);
+    - ``nearest``  — whichever of the two is closer in time (backward
+      wins exact-distance ties, as in pandas); costs two window passes
+      over the same partitioning — Spark reuses the shuffle.
+
+    ``tiebreak`` (default: first payload column, must cast to long)
+    deterministically picks among right rows sharing (key, right_ts):
+    the largest value wins for backward, the smallest for forward.
     """
+    if direction == "nearest":
+        back = asof_join(
+            left, right, key, left_ts, right_ts, payload_cols,
+            tiebreak, tolerance_us, "backward", "__b_",
+        )
+        fwd = asof_join(
+            back, right, key, left_ts, right_ts, payload_cols,
+            tiebreak, tolerance_us, "forward", "__f_",
+        )
+        b_lag, f_lag = F.col("__b_lag_us"), F.col("__f_lag_us")
+        pick_b = b_lag.isNotNull() & (f_lag.isNull() | (b_lag <= f_lag))
+        out_cols = [F.col(c) for c in left.columns]
+        for c in payload_cols:
+            out_cols.append(
+                F.when(pick_b, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(f"{suffix}{c}")
+            )
+        out_cols.append(
+            F.when(pick_b, b_lag).otherwise(f_lag).alias(f"{suffix}lag_us")
+        )
+        return fwd.select(*out_cols)
+    assert direction in ("backward", "forward"), direction
+    fwd = direction == "forward"
     tiebreak = tiebreak or payload_cols[0]
     # Microsecond epoch, not seconds: second-truncation would silently
-    # include a right row up to 1s AFTER the left timestamp.
+    # include a right row up to 1s past the boundary.
     ts = F.unix_micros(F.col("__ts").cast("timestamp"))
 
     r = right.select(
@@ -88,23 +121,30 @@ def asof_join(
         l
     )
 
-    # Right rows sort before the left row at the same instant (tag 0 < 1),
-    # so ts <= t inclusive; among simultaneous right rows the largest
-    # tiebreak is carried last and therefore wins.
+    # Backward: ascending scan; right rows sort before the left row at the
+    # same instant (tag 0 < 1), so ts <= t inclusive, and among
+    # simultaneous right rows the largest tiebreak is carried last and
+    # wins. Forward: the exact mirror — descending scan, smallest
+    # tiebreak wins.
+    if fwd:
+        order = [ts.desc(), F.col("__tag").asc(), F.col("__tie").desc()]
+    else:
+        order = [ts.asc(), F.col("__tag").asc(), F.col("__tie").asc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy(ts, "__tag", "__tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
 
     out = carried.filter(F.col("__tag") == 1)
+    lag_expr = (F.col("__match.__rts") - ts) if fwd else (ts - F.col("__match.__rts"))
     if tolerance_us is not None:
         out = out.withColumn(
             "__match",
-            F.when(ts - F.col("__match.__rts") <= F.lit(tolerance_us), F.col("__match")),
+            F.when(lag_expr <= F.lit(tolerance_us), F.col("__match")),
         )
-    lag = (ts - F.col("__match.__rts")).alias(f"{suffix}lag_us")
+    lag = lag_expr.alias(f"{suffix}lag_us")
     return out.select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         *[F.col(f"__match.{c}").alias(f"{suffix}{c}") for c in payload_cols],

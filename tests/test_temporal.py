@@ -44,17 +44,33 @@ def _frames(spark, left_rows, right_rows):
     return left, right
 
 
-def _py_asof(left_rows, right_rows, tolerance_us=None):
-    """Brute-force twin: max (rts, rid) with rts <= lts per key."""
+def _py_asof(left_rows, right_rows, tolerance_us=None, direction="backward"):
+    """Brute-force twin with pandas merge_asof direction semantics."""
     out = {}
     for i, (k, lus) in enumerate(left_rows):
         best = None
         for j, (rk, rus) in enumerate(right_rows):
-            if rk == k and rus <= lus and (tolerance_us is None or lus - rus <= tolerance_us):
-                cand = (rus, j)
-                if best is None or cand > best:
-                    best = cand
-        out[i] = best and best[1]
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rus <= lus and (tolerance_us is None or lus - rus <= tolerance_us)
+                cand = (rus, j)  # max wins
+                better = best is None or cand > best
+            elif direction == "forward":
+                ok = rus >= lus and (tolerance_us is None or rus - lus <= tolerance_us)
+                cand = (-rus, -j)  # min rts, then min rid wins
+                better = best is None or cand > best
+            else:  # nearest: smaller distance wins, backward breaks ties
+                ok = tolerance_us is None or abs(rus - lus) <= tolerance_us
+                is_back = rus <= lus
+                cand = (-abs(rus - lus), is_back,
+                        (rus, j) if is_back else (-rus, -j))
+                better = best is None or cand > best
+            if ok and better:
+                best = cand
+                out[i] = j
+        if i not in out:
+            out[i] = None
     return out
 
 
@@ -100,6 +116,41 @@ class TestAsofJoin:
             for row in asof_join(l, r, "k", "lts", "rts", ["rid"]).collect()
         }
         assert got == _py_asof(left, right)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 500_000)), min_size=1, max_size=8
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 500_000)), min_size=0, max_size=10
+        ),
+    )
+    def test_forward_and_nearest_match_python_twin(self, spark, left, right):
+        l, r = _frames(spark, left, right)
+        for direction in ("forward", "nearest"):
+            got = {
+                row["lid"]: row["asof_rid"]
+                for row in asof_join(
+                    l, r, "k", "lts", "rts", ["rid"], direction=direction
+                ).collect()
+            }
+            assert got == _py_asof(left, right, direction=direction), direction
+
+    def test_nearest_backward_wins_exact_tie(self, spark):
+        # right rows equidistant (±10us): pandas semantics = backward wins
+        l, r = _frames(spark, [(1, 100)], [(1, 90), (1, 110)])
+        row = asof_join(l, r, "k", "lts", "rts", ["rid"], direction="nearest").collect()[0]
+        assert row["asof_rid"] == 0 and row["asof_lag_us"] == 10
+
+    def test_forward_tolerance(self, spark):
+        l, r = _frames(spark, [(1, 0)], [(1, 1_000_000)])
+        ok = asof_join(l, r, "k", "lts", "rts", ["rid"], direction="forward",
+                       tolerance_us=1_000_000).collect()[0]
+        assert ok["asof_rid"] == 0
+        cut = asof_join(l, r, "k", "lts", "rts", ["rid"], direction="forward",
+                        tolerance_us=999_999).collect()[0]
+        assert cut["asof_rid"] is None
 
     def test_plan_has_no_nonequi_join(self, spark):
         l, r = _frames(spark, [(1, 10)], [(1, 5)])
