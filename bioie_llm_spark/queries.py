@@ -3148,6 +3148,37 @@ _Q1_SQL = """
            CAST(NULL AS BIGINT) AS n_w, CAST(NULL AS DOUBLE) AS sum_v
     FROM asof_pairs WHERE rn = 1
     UNION ALL
+    SELECT 'asof_fwd' AS kind, pid AS key, cid AS match_id,
+           CAST(lag_us AS BIGINT) AS lag_us,
+           CAST(NULL AS BIGINT) AS n_w, CAST(NULL AS DOUBLE) AS sum_v
+    FROM (
+      SELECT p.event_id AS pid, c.event_id AS cid,
+             epoch_us(c.ts) - epoch_us(p.ts) AS lag_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts ASC, c.event_id ASC) AS rn
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'asof_near' AS kind, pid AS key, cid AS match_id,
+           CAST(lag_us AS BIGINT) AS lag_us,
+           CAST(NULL AS BIGINT) AS n_w, CAST(NULL AS DOUBLE) AS sum_v
+    FROM (
+      SELECT p.event_id AS pid, c.event_id AS cid,
+             abs(epoch_us(c.ts) - epoch_us(p.ts)) AS lag_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                        (c.ts <= p.ts) DESC,
+                        CASE WHEN c.ts <= p.ts THEN -c.event_id
+                             ELSE c.event_id END ASC
+             ) AS rn
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    UNION ALL
     SELECT 'range' AS kind, p.event_id AS key,
            CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS lag_us,
            count(*) AS n_w, round(sum(v.value), 4) AS sum_v
@@ -3168,21 +3199,30 @@ def tmp_asof_range_join(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("c_event_id")
     )
-    asof = asof_join(
-        purchases,
-        clicks,
-        key="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        payload_cols=["c_event_id"],
-    )
-    asof_rows = asof.filter(F.col("asof_c_event_id").isNotNull()).select(
-        F.lit("asof").alias("kind"),
-        F.col("event_id").alias("key"),
-        F.col("asof_c_event_id").alias("match_id"),
-        F.col("asof_lag_us").alias("lag_us"),
-        F.lit(None).cast("long").alias("n_w"),
-        F.lit(None).cast("double").alias("sum_v"),
+    def asof_branch(kind: str, direction: str) -> DataFrame:
+        a = asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload_cols=["c_event_id"],
+            direction=direction,
+        )
+        return a.filter(F.col("asof_c_event_id").isNotNull()).select(
+            F.lit(kind).alias("kind"),
+            F.col("event_id").alias("key"),
+            F.col("asof_c_event_id").alias("match_id"),
+            F.col("asof_lag_us").alias("lag_us"),
+            F.lit(None).cast("long").alias("n_w"),
+            F.lit(None).cast("double").alias("sum_v"),
+        )
+
+    # all three merge_asof directions under the driver gate (late r7)
+    asof_rows = (
+        asof_branch("asof", "backward")
+        .unionByName(asof_branch("asof_fwd", "forward"))
+        .unionByName(asof_branch("asof_near", "nearest"))
     )
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     bounded = purchases.withColumn(
