@@ -545,10 +545,26 @@ def main() -> None:
         root = os.path.join(tempfile.gettempdir(), "bioie_bench")
         corpus_dir, gaz_dir, n_files = materialize_corpus(sf, root)
         env = _pinned_env()
-        out = {
-            n: run_pinned_level(n, corpus_dir, gaz_dir, n_files, env)
-            for n in (8, 32)
-        }
+        # INTERLEAVE the two levels across rounds and keep each level's
+        # best (late r7): each leg is already warmup + min-of-3 inside one
+        # JVM, but a host-noise window that lands on exactly one leg still
+        # skews the RATIO (observed 0.64-0.87 across back-to-back runs of
+        # the sequential form). Alternating 8,32,8,32 makes a noisy window
+        # hit both legs; per-leg best-of-rounds measures the machine, not
+        # the window.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+        out: dict[int, dict] = {}
+        for _ in range(rounds):
+            for n in (8, 32):
+                got = run_pinned_level(n, corpus_dir, gaz_dir, n_files, env)
+                cur = out.get(n)
+                if cur is None:
+                    out[n] = got
+                    continue
+                for k in ("files_per_sec", "extract_link_files_per_sec"):
+                    cur[k] = max(cur[k], got[k])
+                for k in ("pipeline_sec", "extract_link_sec"):
+                    cur[k] = min(cur[k], got[k])
         tp8, tp32 = out[8]["files_per_sec"], out[32]["files_per_sec"]
         el8 = out[8]["extract_link_files_per_sec"]
         el32 = out[32]["extract_link_files_per_sec"]
