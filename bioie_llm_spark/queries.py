@@ -3070,6 +3070,8 @@ def cc_components(spark, sf_dir):
     from .operators.graph import pagerank_fixed_point
 
     li = load(spark, sf_dir, "lineitem")
+    # materialized once: CC and PageRank both consume the same edge set,
+    # which would otherwise re-scan lineitem twice
     edges = (
         li.filter(F.col("l_quantity") >= 49)
         .select(
@@ -3077,6 +3079,7 @@ def cc_components(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey") % 67).alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
     cc = connected_components(edges).select(
         F.lit("cc").alias("kind"),

@@ -16,7 +16,7 @@ table — the standard late-data-tolerant streaming aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,3 +210,114 @@ def stream_dedup_docs(
     )
     q.awaitTermination()
     return q
+
+
+def stream_near_dup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Streaming NEAR-dup detection (late r7): the continuous-ingestion
+    twin of the batch MinHash-LSH candidate path. Each arriving doc's
+    signature is banded exactly like operators.dedup._minhash_banded (the
+    same Catalyst expressions run on the stream); the stream groups on
+    the (band, bucket) key and an ``applyInPandasWithState`` operator
+    keeps the bucket's previously-seen (doc_id, signature) list in stream
+    state — so a doc is flagged against EVERYTHING that ever streamed
+    through the bucket, across micro-batches and restarts, without any
+    growing driver-side structure. Per bucket the verdict is the best
+    earlier match by MinHash-estimated Jaccard (component agreement
+    fraction) at ``threshold``; per doc the final verdict compacts bucket
+    verdicts to the single best (max estimate, then min partner id —
+    deterministic at any batch split, since state insertion is sorted by
+    doc id within a batch and earlier batches always precede later ones).
+
+    State is capped at ``max_bucket`` entries per bucket (the batch
+    path's bounded-bucket policy, minhash_dropped_buckets): a hot
+    boilerplate bucket stops ACCUMULATING new reference docs but keeps
+    flagging against the ones it holds, so state size is bounded by
+    construction at 100 TB. Emissions append to parquet via foreachBatch;
+    drains with AvailableNow and returns one row per doc:
+    (doc_id, dup_of, est_jaccard) with NULLs for non-duplicates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _minhash_banded
+
+    out_dir = out_dir or checkpoint_dir.rstrip("/") + "__neardup"
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    banded = _minhash_banded(stream, id_col, text_col, n_hashes, bands).select(
+        "id", "sig", F.concat_ws("|", "band", "bucket").alias("bkey")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ids, flat = state.get if state.exists else ([], [])
+        ids = list(ids)
+        flat = list(flat)
+        out_ids, out_dup, out_est = [], [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), [int(x) for x in s]) for i, s in zip(pdf["id"], pdf["sig"])
+            )
+        rows.sort(key=lambda r: r[0])  # deterministic within-batch order
+        for did, sig in rows:
+            best = None  # (est, -partner) maximized
+            for j, pid in enumerate(ids):
+                psig = flat[j * n_hashes : (j + 1) * n_hashes]
+                est = sum(a == b for a, b in zip(sig, psig)) / n_hashes
+                if est >= threshold and (best is None or (est, -pid) > best):
+                    best = (est, -pid)
+            out_ids.append(did)
+            out_dup.append(None if best is None else -best[1])
+            out_est.append(None if best is None else round(best[0], 4))
+            if len(ids) < max_bucket:
+                ids.append(did)
+                flat.extend(sig)
+        state.update((ids, flat))
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "dup_of": out_dup, "est_jaccard": out_est}
+        )
+
+    verdicts = banded.groupBy("bkey").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, dup_of long, est_jaccard double",
+        stateStructType="ids array<long>, sigs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        verdicts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # per-doc compaction: best bucket verdict = max est, then min partner
+    log = spark.read.parquet(out_dir)
+    w_best = (
+        F.when(F.col("est_jaccard").isNotNull(), F.col("est_jaccard")).otherwise(-1.0)
+    )
+    ranked = log.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                w_best.desc(), F.coalesce("dup_of", F.lit(2**62)).asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("__rk") == 1).drop("__rk")
