@@ -41,8 +41,16 @@ def exact_dedup(
     )
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def word_tokens(col: Column) -> Column:
+    """Space-split tokens of the normalized text — the shared front of
+    every shingle formulation."""
+    return F.split(normalized_text(col), " ")
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column (see ``shingle_frame`` for why the two-step shape
+    matters).
 
     Built with ``zip_with`` over shifted copies instead of
     ``transform(sequence(...), i -> slice(toks, i, n))``: Catalyst
@@ -53,13 +61,46 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     with null and concat_ws skips nulls, so trailing partials form
     truncated shingles exactly like the slice formulation; the final slice
     drops them."""
-    toks = F.split(normalized_text(col), " ")
     out = toks
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
         out = F.zip_with(out, shifted, lambda x, y: F.concat_ws(" ", x, y))
     keep = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(F.slice(out, 1, keep))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text, as ONE column
+    expression. This inlines the token subtree ``n + 2`` times, so prefer
+    ``shingle_frame`` (two projections) on hot paths — the inline form
+    re-runs the normalize+split regex chain per reference (measured 9.1s
+    vs 1.8s for the sf1.0 corpus; optimization guide §7.2 duplicated
+    subtrees)."""
+    return shingles_of_tokens(word_tokens(col), n)
+
+
+def shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    id_alias: str | None = None,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, shingles) with the token array materialized in its OWN
+    projection before shingling. The shingle expression references its
+    token input 5 times; as a single nested expression Catalyst inlines
+    (and re-evaluates) the normalize+split chain per reference, while a
+    materialized ``__toks`` alias referenced 5 times blocks CollapseProject
+    and is computed once — measured 5x on the shingle pass alone."""
+    out_id = id_alias or id_col
+    tokd = df.select(
+        F.col(id_col).alias(out_id),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    return tokd.select(
+        out_id, shingles_of_tokens(F.col("__toks"), shingle_n).alias(out_col)
+    )
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
@@ -88,13 +129,11 @@ def _minhash_banded(
     """(id, sig, band, bucket) — one row per (doc, band): the shared front
     half of candidate generation and the dropped-bucket drop report."""
     rows = n_hashes // bands
-    # two projections so the shingle set is computed ONCE per row: 32
-    # references to a multi-use non-trivial alias block CollapseProject,
-    # whereas inlining the expression would rebuild shingles per hash fn
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    # staged projections so tokens AND the shingle set are each computed
+    # ONCE per row: 32 references to a multi-use non-trivial alias block
+    # CollapseProject, whereas inlining the expression would rebuild
+    # shingles per hash fn (and the token chain per shingle reference)
+    sh = shingle_frame(df, id_col, text_col, shingle_n, id_alias="id")
     sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     return sig.select(
         "id",
@@ -212,10 +251,9 @@ def ngram_exploded_index(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
     """Inverted shingle index: (id, n_sh, g) — one row per (doc, shingle)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    return sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    sh = shingle_frame(df, id_col, text_col, shingle_n, id_alias="id")
+    sized = sh.select("id", "sh", F.size("sh").alias("n_sh"))
+    return sized.select("id", "n_sh", F.explode("sh").alias("g"))
 
 
 def ngram_hot_grams(
@@ -259,12 +297,13 @@ def ngram_jaccard_pairs(
     Physical shape (capped path): the shingle index is evaluated ONCE and
     shuffled once on the gram key — per-gram posting lists via collect_list
     (bounded by max_df, so never an OOM-sized group), the cap applied as a
-    HAVING on the same aggregate, pairs expanded from each bounded posting
-    list with a nested transform. The naive a-join-b formulation evaluates
-    the shingling subtree three times (hot-gram agg + both join sides) —
-    measured 2x slower end-to-end, and its collect-free plan carries no
-    cap on group size anyway. With max_df=None posting lists are unbounded,
-    so the join formulation is kept for that (correctness-twin) path."""
+    HAVING on the same aggregate, upper-triangle pairs expanded from each
+    bounded posting list with two codegen'd Generates (see inline note).
+    The naive a-join-b formulation evaluates the shingling subtree three
+    times (hot-gram agg + both join sides) — measured 2x slower
+    end-to-end, and its collect-free plan carries no cap on group size
+    anyway. With max_df=None posting lists are unbounded, so the join
+    formulation is kept for that (correctness-twin) path."""
     ex = ngram_exploded_index(df, id_col, text_col, shingle_n)
     if max_df is not None:
         members = (
@@ -275,29 +314,42 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("__df") <= max_df)
         )
-        pairs = members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ms",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ms",
-                                lambda y: F.struct(
-                                    x["id"].alias("id_a"),
-                                    y["id"].alias("id_b"),
-                                    x["n_sh"].alias("na"),
-                                    y["n_sh"].alias("nb"),
-                                ),
-                            ),
-                            lambda p: p["id_a"] < p["id_b"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select("p.id_a", "p.id_b", "p.na", "p.nb")
-        shared = pairs.groupBy("id_a", "id_b", "na", "nb").agg(
-            F.count("*").alias("shared")
+        # Upper-triangle pair expansion as TWO codegen'd Generates
+        # (posexplode, then explode of the per-position tail slice) instead
+        # of a nested transform+filter: the HOF form builds df^2 structs
+        # through interpreted expression eval and filters half away, while
+        # the Generate form emits exactly the df(df-1)/2 surviving pairs
+        # inside whole-stage codegen — measured 20.8s -> 14.8s on the
+        # sf1.0 slot (71M pair rows; guide §1.2 per-task work). The pair
+        # key carries na+nb as one int (the jaccard denominator needs only
+        # the sum); least/greatest normalizes the orientation the nested
+        # form got from its id_a < id_b filter — posting-list ids are
+        # unique per gram, so each unordered pair is emitted exactly once
+        # either way.
+        wx = members.select("ms", F.posexplode("ms").alias("i", "x"))
+        pairs = wx.select(
+            "x", F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("y")
+        ).select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+            (F.col("x.n_sh") + F.col("y.n_sh")).alias("__nanb"),
+        )
+        shared = (
+            pairs.groupBy("id_a", "id_b", "__nanb")
+            .agg(F.count("*").alias("shared"))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("__nanb").alias("__den_base"),
+                "shared",
+            )
+        )
+        return (
+            shared.withColumn(
+                "jaccard", F.col("shared") / (F.col("__den_base") - F.col("shared"))
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
     else:
         a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g")
@@ -406,10 +458,9 @@ def ngram_jaccard_pairs_prefix(
     two verify joins) against the capped path's one — the right choice
     when missed boilerplate-only pairs are unacceptable; the capped path
     when they are (its drop is audited via ngram_hot_grams)."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    grams = shingle_frame(df, id_col, text_col, shingle_n, id_alias="id").withColumn(
+        "n_sh", F.size("sh")
+    )
     ex = grams.select("id", "n_sh", F.explode("sh").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")

@@ -56,6 +56,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate copies the generator's child expression
+        # into an inferred size(..)>0 filter. For this engine's explodes the
+        # generator input is a shingle/chunk expression over text, so the
+        # inferred filter re-evaluates the whole normalize+split+shingle
+        # chain 2x per row below the projection that would have evaluated it
+        # once — measured 21.4s -> 9.5s on the sf1.0 n-gram index with the
+        # rule excluded (optimization guide §2.4/§7.2: kill unexpected
+        # duplicated subtrees). The rule only ever helps when the inferred
+        # filter prunes rows cheaply before a wider op; every Generate in
+        # this engine explodes arrays derived from columns already in the
+        # row, so it is pure re-computation here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
