@@ -48,11 +48,16 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(pieces) + extra
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
+def stopword_ratio_of(toks: Column) -> Column:
+    """``stopword_ratio`` over an already-materialized token array."""
+    low = F.transform(toks, lambda t: F.lower(t))
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n = F.size(toks)
-    return F.when(n > 0, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n).otherwise(F.lit(0.0))
+    n = F.size(low)
+    return F.when(n > 0, F.size(F.filter(low, lambda t: F.array_contains(sw, t))) / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return stopword_ratio_of(tokens(col))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -61,24 +66,39 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
 
 
-def mean_word_len(col: Column) -> Column:
-    toks = tokens(col)
+def mean_word_len_of(toks: Column) -> Column:
+    """``mean_word_len`` over an already-materialized token array."""
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    return mean_word_len_of(tokens(col))
+
+
+def quality_score_of(col: Column, toks: Column) -> Column:
+    """``quality_score`` with the token array supplied as a materialized
+    column. The inline form expands the trim+split+filter token subtree
+    ~7x (mean_word_len 3 refs, stopword_ratio 3, token_count callers
+    more); materializing ``toks`` in its own projection first makes each
+    reference an attribute read — measured 7.8s -> ~1s on the sf1.0
+    'scored' projection (same rewrite class as dedup.shingle_frame)."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    wl = mean_word_len_of(toks)
+    word_len_term = F.lit(1.0) - F.least(F.abs(wl - 5.0) / F.lit(5.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio_of(toks) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return F.round(
+        0.3 * length_term + 0.3 * word_len_term + 0.2 * stop_term + 0.2 * punct_term, 4
+    )
 
 
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards mid-length docs, typical
     word lengths, some stopwords, low punctuation noise. Deterministic
-    formula; thresholding it yields a quality filter."""
-    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    wl = mean_word_len(col)
-    word_len_term = F.lit(1.0) - F.least(F.abs(wl - 5.0) / F.lit(5.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
-    return F.round(
-        0.3 * length_term + 0.3 * word_len_term + 0.2 * stop_term + 0.2 * punct_term, 4
-    )
+    formula; thresholding it yields a quality filter. Hot paths should
+    materialize the token array and call ``quality_score_of``."""
+    return quality_score_of(col, tokens(col))
 
 
 def language_id(col: Column) -> Column:

@@ -542,16 +542,20 @@ def substring_windows(
 
 
 def _window_firsts(wins: DataFrame, id_col: str) -> DataFrame:
-    """Annotate each window occurrence with the globally first (id, pos)
-    occurrence of its hash (min-struct agg, map-side combinable) — the
-    single source of the keeper tie-break both ``substring_dup_stats``
-    and ``remove_dup_spans`` must agree on."""
-    firsts = wins.groupBy("whash").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "__first"
-        )
-    )
-    return wins.join(firsts, "whash")
+    """Annotate each window occurrence with ``__is_first``: whether it is
+    the globally first (id, pos) occurrence of its hash — the single
+    source of the keeper tie-break both ``substring_dup_stats`` and
+    ``remove_dup_spans`` must agree on.
+
+    Implemented as a hash-keyed ``row_number`` window (the oracle's own
+    formulation) instead of the previous min-struct agg + join-back: the
+    agg+join shape evaluates the window-index subtree on BOTH join sides
+    (exchange reuse does not always fire across the agg) and pays a join
+    exchange on top of the hash shuffle; the window form is ONE shuffle on
+    the hash and no join — measured 2.1s -> 1.2s on the sf1.0 fixed-window
+    slot (guide §2.4: remove shuffles outright)."""
+    w = Window.partitionBy("whash").orderBy(F.col(id_col), F.col("pos"))
+    return wins.withColumn("__is_first", F.row_number().over(w) == 1)
 
 
 def substring_dup_stats(
@@ -576,13 +580,7 @@ def substring_dup_stats(
     ``repetition_ratio_grouped``): stats join back on it, and the
     first-occurrence rule orders occurrences by (id, pos)."""
     wins = substring_windows(df, id_col, text_col, w=w)
-    marked = _window_firsts(wins, id_col).withColumn(
-        "__dup",
-        ~(
-            (F.col(id_col) == F.col("__first.i"))
-            & (F.col("pos") == F.col("__first.p"))
-        ),
-    )
+    marked = _window_firsts(wins, id_col).withColumn("__dup", ~F.col("__is_first"))
     per_doc = marked.groupBy(id_col).agg(
         F.count("*").alias("n_win"),
         F.sum(F.col("__dup").cast("bigint")).alias("n_dup_win"),
@@ -629,10 +627,7 @@ def remove_dup_spans(
     wins = substring_windows(df, id_col, text_col, w=w)
     kept = (
         _window_firsts(wins, id_col)
-        .filter(
-            (F.col(id_col) == F.col("__first.i"))
-            & (F.col("pos") == F.col("__first.p"))
-        )
+        .filter(F.col("__is_first"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("__kept"))
     )
@@ -676,9 +671,14 @@ def cdc_chunks(
     tile the text EXACTLY (no tail remainder, unlike the fixed windows).
 
     Returns one row per chunk: (id_col, pos, clen, chash) with chash =
-    md5 of the chunk text. Everything up to the final explode is
-    per-row higher-order-function work (sequence/filter/zip_with inside
-    whole-stage codegen) — zero shuffle; output rows ~ |text|/43, linear
+    md5 of the chunk text. The per-position cut test (an md5 per k-gram —
+    one eval per text byte) runs as a codegen'd explode+filter rather
+    than a higher-order ``filter`` lambda: HOF lambdas evaluate through
+    the interpreted expression path, which made the cut scan the dominant
+    cost (measured 5.8s -> 2.6s at sf1.0 for identical output). The cut
+    positions (~2.3% of bytes under mask '05') are re-grouped per doc with
+    one small shuffle — (id, int) rows only, never text — and the chunk
+    rebuild is per-row array work again; output rows ~ |text|/43, linear
     in corpus bytes, the shape that survives 100 TB."""
     n_mask = len(mask)
     t = F.col(text_col)
@@ -686,25 +686,40 @@ def cdc_chunks(
     cand = F.when(
         n >= k + 1, F.sequence(F.lit(2), n - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(
-        cand,
-        lambda i: F.md5(t.substr(i, F.lit(k))).substr(F.lit(1), F.lit(n_mask))
-        <= F.lit(mask),
+    # codegen'd cut scan: one (id, position) row per candidate, md5 in the
+    # filter, then per-doc cut lists via a map-side-combinable collect
+    cuts = (
+        df.select(F.col(id_col), t.alias("__cdc_t"), F.explode(cand).alias("__i"))
+        .filter(
+            F.md5(F.col("__cdc_t").substr(F.col("__i"), F.lit(k))).substr(
+                F.lit(1), F.lit(n_mask)
+            )
+            <= F.lit(mask)
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__i")).alias("__cuts"))
     )
+    with_cuts = df.select(F.col(id_col), t.alias("__cdc_text")).join(
+        cuts, id_col, "left"
+    )
+    nn = F.length(F.col("__cdc_text"))
     bounds = F.concat(
-        F.array(F.lit(1)), cuts, F.array((n + 1).cast("int"))
+        F.array(F.lit(1)),
+        F.coalesce(F.col("__cuts"), F.array().cast("array<int>")),
+        F.array((nn + 1).cast("int")),
     )
-    nb = F.size(bounds)
+    b = with_cuts.select(F.col(id_col), "__cdc_text", bounds.alias("__b"))
+    nb = F.size("__b")
     chunks = F.zip_with(
-        F.slice(bounds, 1, nb - 1),
-        F.slice(bounds, 2, nb - 1),
+        F.slice("__b", 1, nb - 1),
+        F.slice("__b", 2, nb - 1),
         lambda a, b: F.struct(a.alias("pos"), (b - a).alias("clen")),
     )
     # Same two-select shape as substring_windows: materialize the exploded
     # struct under a dunder alias before hashing, so a pre-existing
     # pos/clen input column can never shadow the chunk fields.
-    exploded = df.select(
-        F.col(id_col), t.alias("__cdc_text"), F.explode(chunks).alias("__ck")
+    exploded = b.select(
+        F.col(id_col), "__cdc_text", F.explode(chunks).alias("__ck")
     )
     return exploded.select(
         F.col(id_col),
@@ -742,22 +757,20 @@ def _cdc_marked(
     Identical hash implies identical content hence identical length, so
     the first-occurrence rule over ALL chunks equals the rule over
     eligible-only chunks for eligible chunks. The doc-keyed window and
-    the per-doc agg that callers run next share one partitioning."""
+    the per-doc agg that callers run next share one partitioning.
+
+    The first-occurrence test is a chash-keyed ``row_number`` window (the
+    oracle's own formulation) rather than the previous min-struct agg +
+    join-back, which re-evaluated the whole chunk subtree on both join
+    sides and paid an extra join exchange (same rewrite as
+    ``_window_firsts``)."""
     from pyspark.sql import Window
 
     chunks = cdc_chunks(df, id_col, text_col, k=k, mask=mask)
-    firsts = chunks.groupBy("chash").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "__first"
-        )
-    )
-    rep = ~(
-        (F.col(id_col) == F.col("__first.i")) & (F.col("pos") == F.col("__first.p"))
-    )
+    wf = Window.partitionBy("chash").orderBy(F.col(id_col), F.col("pos"))
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
-        chunks.join(firsts, "chash")
-        .withColumn("__rep", rep)
+        chunks.withColumn("__rep", F.row_number().over(wf) > 1)
         .withColumn("__base", (F.col("clen") >= min_dedup_len) & F.col("__rep"))
         .withColumn(
             "__dup",
@@ -780,6 +793,7 @@ def cdc_dup_stats(
     k: int = 8,
     mask: str = "05",
     min_dedup_len: int = 20,
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics over content-defined chunks
     under the global first-occurrence-keeps rule (CDC analogue of
@@ -792,10 +806,14 @@ def cdc_dup_stats(
     (n_chunk, n_dup_chunk, dup_chars, dup_span_frac) where dup_span_frac
     = dup_chars / length(text) — exact, since CDC chunks tile the text.
 
-    One shuffle on the 128-bit chunk hash (min-struct agg, map-side
-    combinable) + one doc-keyed window+agg stage. REQUIRES ``id_col``
-    unique per row."""
-    marked = _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
+    One shuffle on the 128-bit chunk hash (row_number window) + one
+    doc-keyed window+agg stage. REQUIRES ``id_col`` unique per row.
+
+    ``marked``: a precomputed ``_cdc_marked`` frame — pass it when stats
+    AND removal run over the same input (dd_exact_clean_corpus) so the
+    chunk scan is paid once, not once per consumer."""
+    if marked is None:
+        marked = _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
     per_doc = marked.groupBy(id_col).agg(
         F.count("*").alias("n_chunk"),
         F.sum(F.col("__dup").cast("bigint")).alias("n_dup_chunk"),
@@ -835,6 +853,7 @@ def cdc_remove_dup_spans(
     mask: str = "05",
     min_dedup_len: int = 20,
     out_col: str = "clean_text",
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """Drop duplicated content-defined chunks (global first-occurrence
     kept; dedup-exempt chunks under ``min_dedup_len`` always kept) and
@@ -845,10 +864,14 @@ def cdc_remove_dup_spans(
     Per doc the kept (pos, clen) pairs are collected into one sorted
     array (bounded by |text|/~43 structs) and the output is rebuilt with
     a single expression-side ``aggregate`` over substrings — no Python,
-    no second text shuffle. REQUIRES ``id_col`` unique per row."""
+    no second text shuffle. REQUIRES ``id_col`` unique per row.
+
+    ``marked``: a precomputed ``_cdc_marked`` frame (see
+    ``cdc_dup_stats``)."""
+    if marked is None:
+        marked = _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
     kept = (
-        _cdc_marked(df, id_col, text_col, k, mask, min_dedup_len)
-        .filter(~F.col("__dup"))
+        marked.filter(~F.col("__dup"))
         .groupBy(id_col)
         .agg(
             F.sort_array(

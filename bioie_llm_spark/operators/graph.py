@@ -61,19 +61,30 @@ def pagerank_fixed_point(
     r0 = scale // n_nodes
     base = (scale // n_nodes) * 15 // 100
 
-    ranks = deg.select("node", F.lit(r0).cast("long").alias("r"))
-    for i in range(iterations):
-        contribs = ranks.join(deg, "node").select(
-            "node", F.expr("r div d").alias("c")
-        )
-        ranks = (
-            contribs.join(sym, contribs["node"] == sym["a"])
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.expr("(85 * sum(c)) div 100").alias("s"))
-            .select("node", (F.lit(base) + F.col("s")).cast("long").alias("r"))
-        )
-        # checkpoint every 3rd round (and the last): lineage stays bounded
-        # without paying a materialization action per round
-        if i % 3 == 2 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+    # size the per-round shuffles from the measured node count (same
+    # adaptive rule as canonical.connected_components: ~100k keys per
+    # partition, floor 8) — a small graph at the session default pays
+    # mostly empty-task launches per round
+    conf = edges.sparkSession.conf
+    orig_parts = conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(8, min(int(orig_parts), -(-max(n_nodes, 1) // 100_000)))
+    conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        ranks = deg.select("node", F.lit(r0).cast("long").alias("r"))
+        for i in range(iterations):
+            contribs = ranks.join(deg, "node").select(
+                "node", F.expr("r div d").alias("c")
+            )
+            ranks = (
+                contribs.join(sym, contribs["node"] == sym["a"])
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.expr("(85 * sum(c)) div 100").alias("s"))
+                .select("node", (F.lit(base) + F.col("s")).cast("long").alias("r"))
+            )
+            # checkpoint every 3rd round (and the last): lineage stays
+            # bounded without paying a materialization action per round
+            if i % 3 == 2 or i == iterations - 1:
+                ranks = ranks.localCheckpoint()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig_parts)
     return ranks.select("node", F.col("r").alias("rank_int"))

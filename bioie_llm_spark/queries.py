@@ -48,6 +48,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_fanout(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + an explicit round-robin fan-out for compute-heavy
+    per-row work. The driver tables are single files with ONE parquet row
+    group, so the scan cannot split below one task no matter the split
+    config — a regex/hash-heavy projection then runs on 1-2 of N cores
+    (stage profile: every expensive dd_exact stage ran with tasks=2 on
+    local[32]). The fan-out costs one shuffle of the (small) source bytes
+    and is sized from the session's parallelism, never a constant — a
+    real table at scale brings its own splits and skips this."""
+    par = spark.sparkContext.defaultParallelism * 2
+    return load(spark, sf_dir, table).repartition(par)
+
+
 def round_doubles(df: DataFrame, places: int = 4) -> DataFrame:
     """Round every double column — float columns cross the engine-compare
     boundary only after rounding (oracle convention, module docstring)."""
@@ -1259,7 +1272,11 @@ def t2_t4_sampling(spark, sf_dir):
             .alias("rn"),
         )
     )
-    ev = load(spark, sf_dir, "events")
+    # fan out the events leg only: the md5 window key is otherwise computed
+    # inside the 1-2 task scan stage before the 5-key stratum exchange
+    # (measured 2.8s -> 1.5s); the orders leg stays raw — TakeOrdered on the
+    # scan beats paying a repartition of the whole table (measured A/B)
+    ev = load_fanout(spark, sf_dir, "events")
     strat = stratified_sample(
         ev, "event_type", ["event_id"], 50, rank_col="rn"
     ).select(
@@ -1848,11 +1865,11 @@ _QUALITY_SQL = f"""
     """,
 )
 def dd_exact_clean_corpus(spark, sf_dir):
-    from .functions.text import quality_score, token_count
+    from .functions.text import quality_score_of, tokens
     from .operators.dedup import (
+        _cdc_marked,
         cdc_dup_stats,
         cdc_remove_dup_spans,
-        exact_dedup,
         normalized_text,
         substring_dup_stats,
     )
@@ -1863,8 +1880,36 @@ def dd_exact_clean_corpus(spark, sf_dir):
         F.lit(None).cast("double").alias("dup_span_frac"),
         F.lit(None).cast("bigint").alias("dup_chars"),
     ]
-    d = load(spark, sf_dir, "documents")
-    groups = exact_dedup(d)
+    # fan out: the md5-per-byte CDC scan + window hashing otherwise run on
+    # the single-row-group scan's 1-2 tasks (see load_fanout)
+    d = load_fanout(spark, sf_dir, "documents")
+    # tokens materialized once, then scored: quality_score inline expands
+    # the trim+split token subtree ~7x per row (functions/text.py
+    # quality_score_of rationale) — measured 7.8s -> ~1s on this
+    # projection at sf1.0. The frame is localCheckpoint'd (50k tiny rows,
+    # recomputed every invocation) for two measured reasons: the
+    # quality-threshold filter otherwise gets PUSHED below the fan-out
+    # repartition onto the single-row-group scan — a serial 2-task stage
+    # re-evaluating the full inlined quality expression (stage profile:
+    # 7.4 CPU-s on 2 tasks) — and the dedup 'groups' aggregate can then
+    # derive from the same checkpointed rows instead of re-scanning +
+    # re-hashing the corpus per union branch (3 normalize+md5 subtrees
+    # collapse to 1).
+    scored = (
+        d.select("doc_id", "text", tokens(F.col("text")).alias("__qtoks"))
+        .select(
+            "doc_id",
+            F.md5(normalized_text(F.col("text"))).alias("content_key"),
+            quality_score_of(F.col("text"), F.col("__qtoks")).alias("quality"),
+            F.size("__qtoks").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    # same aggregation as operators.dedup.exact_dedup, over the shared
+    # checkpointed content keys
+    groups = scored.groupBy("content_key").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups")
+    )
     dedup_rows = groups.select(
         F.lit("dedup").alias("kind"),
         F.col("keeper_id").alias("doc_id"),
@@ -1873,12 +1918,6 @@ def dd_exact_clean_corpus(spark, sf_dir):
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("bigint").alias("n_tokens"),
         *_substr_nulls,
-    )
-    scored = d.select(
-        "doc_id",
-        F.md5(normalized_text(F.col("text"))).alias("content_key"),
-        quality_score(F.col("text")).alias("quality"),
-        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
     clean_rows = (
         scored.join(
@@ -1907,7 +1946,15 @@ def dd_exact_clean_corpus(spark, sf_dir):
         "dup_span_frac",
         F.lit(None).cast("bigint").alias("dup_chars"),
     )
-    cdc_rows = cdc_dup_stats(d).select(
+    # the chunk scan (an md5 per text byte) feeds BOTH the 'cdc' stats rows
+    # and the 'cdc_removed' destructive rebuild below; share ONE lazy frame
+    # so the two consumers' subtrees are identical and the chunk-scan
+    # exchange is computed once and reused (ReusedExchange in the union
+    # plan). An eager localCheckpoint was measured 3x SLOWER here — the
+    # RDD materialization path bypasses AQE + whole-stage codegen for the
+    # cut scan.
+    cdc_marked = _cdc_marked(d, "doc_id", "text", 8, "05", 20)
+    cdc_rows = cdc_dup_stats(d, marked=cdc_marked).select(
         F.lit("cdc").alias("kind"),
         "doc_id",
         F.lit(None).cast("string").alias("content_key"),
@@ -1926,7 +1973,7 @@ def dd_exact_clean_corpus(spark, sf_dir):
     # sum(dup_chars) from its own cut-point recompute) and the count of
     # docs that actually shrank
     removed_row = (
-        cdc_remove_dup_spans(d)
+        cdc_remove_dup_spans(d, marked=cdc_marked)
         .agg(
             F.sum(F.length("clean_text")).cast("bigint").alias("__clean_chars"),
             F.sum(
@@ -3289,7 +3336,9 @@ def tmp_asof_range_join(spark, sf_dir):
 def txt_tfidf_topterms(spark, sf_dir):
     from .operators.terms import tfidf_top_terms
 
-    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3).withColumn(
+    # fan out: tokenization + the tf explode otherwise run on the
+    # single-row-group scan's 1-2 tasks (see load_fanout)
+    return tfidf_top_terms(load_fanout(spark, sf_dir, "documents"), k=3).withColumn(
         "rnk", F.col("rnk").cast("long")
     )
 
@@ -3656,7 +3705,9 @@ def cur_contamination(spark, sf_dir):
     # hits within 3x the nominal 1% rate, broadcast 1-row crossJoin).
     from .operators.curation import contamination_check_bloom
 
-    docs = load(spark, sf_dir, "documents")
+    # fan out: the shingle scan + Arrow-batched Bloom probe otherwise run
+    # on the single-row-group scan's 1-2 tasks (see load_fanout)
+    docs = load_fanout(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     screened = contamination_check_bloom(docs, bench, n=3, threshold=0.5, fpp=0.01)
     fp_digest = screened.agg(

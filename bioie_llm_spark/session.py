@@ -18,7 +18,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 256  # prompt micro-batch per Arrow chunk inside mapInPandas
+# Arrow chunk rows for mapInPandas / pandas UDFs. 10k (Spark's own default)
+# measured ~9% faster than 256 on the sf1.0 extraction pipeline (fewer
+# JVM<->Python round trips, guide §4.2); a real GPU model sets this to its
+# serving batch size via the env override.
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
 
 
 def get_spark(
@@ -75,6 +79,12 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
+        # Scan-split size deliberately left at the 128 MB default: the
+        # driver tables are single files whose row-group counts (1-6) cap
+        # scan parallelism anyway, and an A/B at 16m measured flat-to-worse
+        # (empty split tasks add scheduling overhead to the iterative
+        # slots). Compute-heavy single-row-group paths fan out explicitly
+        # instead (queries.load_fanout).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
