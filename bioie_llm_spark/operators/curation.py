@@ -678,11 +678,16 @@ def ngram_lm_score(
         F.col(id_col).alias("id"),
         _lm_tokens(text_col).alias("__t"),
     )
+    # explode_outer keeps zero-transition docs as one NULL row, so the
+    # final frame needs NO second tokenization pass + join-back (the old
+    # all_docs restore join evaluated the tokenizer twice per corpus)
     trans = scored_toks.select(
         "id",
         F.size("__t").alias("n_tokens"),
-        F.explode(_bigram_pairs(F.col("__t"))).alias("p"),
-    ).select("id", "n_tokens", "p.w1", "p.w2")
+        F.explode_outer(_bigram_pairs(F.col("__t"))).alias("p"),
+    ).select(
+        "id", "n_tokens", "p.w1", "p.w2", F.col("p").isNotNull().alias("__has")
+    )
     joined = (
         trans.join(bi, ["w1", "w2"], "left")
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), "w1", "left")
@@ -706,20 +711,25 @@ def ngram_lm_score(
     # between runs/parallelism. floor(nll * 1e9) summed as longs commutes;
     # the <= 1e-9 per-term quantization is invisible at round-4. The
     # DuckDB oracle and the python twin mirror the identical fixed-point.
+    # zero-transition docs (the explode_outer NULL row) keep NULL avg_nll:
+    # the guarded division preserves the old restore-join semantics with
+    # bit-identical terms (same long sum, same transition count)
+    n_trans = F.sum(F.col("__has").cast("long"))
     per_doc = joined.groupBy("id", "n_tokens").agg(
-        (
-            F.sum(F.floor(-F.log(prob) * F.lit(1e9)).cast("long"))
-            / (F.count("*") * F.lit(1e9))
+        F.when(
+            n_trans > 0,
+            F.sum(
+                F.when(
+                    F.col("__has"),
+                    F.floor(-F.log(prob) * F.lit(1e9)).cast("long"),
+                )
+            )
+            / (n_trans * F.lit(1e9)),
         ).alias("avg_nll")
     )
-    # docs with < 2 tokens have no transitions — restore them with NULLs
-    all_docs = scored_toks.select("id", F.size("__t").alias("n_tokens"))
-    return (
-        all_docs.join(per_doc, ["id", "n_tokens"], "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.round("avg_nll", 4).alias("avg_nll"),
-            F.round(F.exp("avg_nll"), 4).alias("perplexity"),
-        )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round(F.exp("avg_nll"), 4).alias("perplexity"),
     )

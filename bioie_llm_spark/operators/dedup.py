@@ -221,30 +221,23 @@ def minhash_lsh_candidates(
         .agg(F.collect_list(F.struct("id", "sig")).alias("ms"), F.count("*").alias("sz"))
         .filter((F.col("sz") >= 2) & (F.col("sz") <= max_bucket))
     )
-    return (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ms",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ms",
-                                lambda y: F.struct(
-                                    x["id"].alias("id_a"),
-                                    y["id"].alias("id_b"),
-                                    est(x["sig"], y["sig"]).alias("est_jaccard"),
-                                ),
-                            ),
-                            lambda p: p["id_a"] < p["id_b"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.est_jaccard")
-        .distinct()
+    # upper-triangle pair expansion via two Generates (the
+    # ngram_jaccard_pairs rewrite): the nested transform+filter form built
+    # sz^2 structs — each carrying the est expression over two 32-long
+    # signature arrays — through interpreted HOF eval and discarded half;
+    # this emits each unordered pair once and evaluates est once per pair.
+    # est is symmetric (fraction of agreeing positions), so the
+    # least/greatest orientation produces bit-identical rows to the old
+    # id_a < id_b filter.
+    wx = grouped.select("ms", F.posexplode("ms").alias("i", "x"))
+    pairs = wx.select(
+        "x", F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("y")
+    ).select(
+        F.least("x.id", "y.id").alias("id_a"),
+        F.greatest("x.id", "y.id").alias("id_b"),
+        est(F.col("x.sig"), F.col("y.sig")).alias("est_jaccard"),
     )
+    return pairs.distinct()
 
 
 def ngram_exploded_index(

@@ -955,10 +955,18 @@ def kg_canonicalize(spark, sf_dir):
 )
 def a1_symmetric_adjacency(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    e = li.select(
-        F.concat(F.lit("p"), "l_partkey").alias("a"),
-        F.concat(F.lit("s"), "l_suppkey").alias("b"),
-    ).distinct()
+    # distinct on the raw int keys, concat AFTER: the "p"/"s" prefixes are
+    # injective, so the distinct set is the same, but the partial aggregate
+    # hashes 2 ints instead of 2 strings and the exchange moves ~half the
+    # bytes (guide §2.3 narrower types; measured 3.9s -> 2.8s at sf1.0)
+    e = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("p"), "l_partkey").alias("a"),
+            F.concat(F.lit("s"), "l_suppkey").alias("b"),
+        )
+    )
     sym = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
@@ -2230,7 +2238,10 @@ def dd_minhash_simhash_check(spark, sf_dir):
 def sim_cosine_topk(spark, sf_dir):
     from .operators.similarity import cosine_topk
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    # fan out: the brute-force scoring (queries x corpus dot products)
+    # otherwise runs inside the single-row-group scan's 1-2 tasks
+    # (measured 2.0s -> 0.8s; see load_fanout)
+    emb = load_fanout(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -3709,7 +3720,13 @@ def cur_contamination(spark, sf_dir):
     # on the single-row-group scan's 1-2 tasks (see load_fanout)
     docs = load_fanout(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
-    screened = contamination_check_bloom(docs, bench, n=3, threshold=0.5, fpp=0.01)
+    # localCheckpoint: the fp-bound digest below re-reads the screen, and
+    # without the checkpoint the whole gram-index+probe pipeline is
+    # evaluated once per consumer (stage profile: two ~50 executor-second
+    # stages for one 50k-row result; measured 6.8s -> 4.5s checkpointed)
+    screened = contamination_check_bloom(
+        docs, bench, n=3, threshold=0.5, fpp=0.01
+    ).localCheckpoint()
     fp_digest = screened.agg(
         (
             (F.sum("n_hit_bloom") - F.sum("n_hit"))
