@@ -713,9 +713,16 @@ def ngram_lm_score(
     # DuckDB oracle and the python twin mirror the identical fixed-point.
     # zero-transition docs (the explode_outer NULL row) keep NULL avg_nll:
     # the guarded division preserves the old restore-join semantics with
-    # bit-identical terms (same long sum, same transition count)
+    # bit-identical terms (same long sum, same transition count).
+    # Grouped on the id ALONE (n_tokens recovered with max — constant per
+    # id, bit-identical): an aggregate keyed exactly on the downstream
+    # join key is provably unique, so a consumer that left-joins the
+    # scores and then prunes them (e.g. a count over txt_profile) lets the
+    # optimizer ELIMINATE this whole subtree — grouping on (id, n_tokens)
+    # silently blocked that and forced the LM pipeline under count().
     n_trans = F.sum(F.col("__has").cast("long"))
-    per_doc = joined.groupBy("id", "n_tokens").agg(
+    per_doc = joined.groupBy("id").agg(
+        F.max("n_tokens").alias("n_tokens"),
         F.when(
             n_trans > 0,
             F.sum(
@@ -725,7 +732,7 @@ def ngram_lm_score(
                 )
             )
             / (n_trans * F.lit(1e9)),
-        ).alias("avg_nll")
+        ).alias("avg_nll"),
     )
     return per_doc.select(
         F.col("id").alias(id_col),

@@ -344,3 +344,41 @@ def test_cdc_remove_dup_spans_identity_and_parallelism(spark):
     )
     repart = cdc_dup_stats(df.repartition(7)).orderBy("doc_id").collect()
     assert base == repart
+
+
+def test_shingle_frame_equals_inline_word_shingles(spark):
+    """The staged-projection shingle path (r8 optimization) must produce
+    exactly the same (id, shingles) rows as the inline expression form —
+    the rewrite changes evaluation count, never values."""
+    from bioie_llm_spark.operators.dedup import shingle_frame
+
+    docs = _docs(spark)
+    inline = {
+        r["doc_id"]: sorted(r["s"])
+        for r in docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    staged = {
+        r["id"]: sorted(r["sh"])
+        for r in shingle_frame(docs, id_alias="id").collect()
+    }
+    assert inline == staged
+
+
+def test_minhash_upper_triangle_pair_invariants(spark):
+    """The Generate-based candidate expansion (r8) must emit each unordered
+    pair exactly once, oriented id_a < id_b, with a symmetric est_jaccard —
+    the invariants the old nested transform+filter form guaranteed."""
+    from bioie_llm_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = minhash_lsh_candidates(_docs(spark)).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen  # distinct() collapsed bands
+        seen.add((r["id_a"], r["id_b"]))
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+    # the exact-duplicate docs (1,2,3 normalize identically) must pair at 1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in rows}
+    assert est.get((1, 2)) == 1.0 and est.get((1, 3)) == 1.0
