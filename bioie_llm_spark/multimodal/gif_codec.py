@@ -106,7 +106,22 @@ def gif_parse_frames(payload: bytes | None) -> tuple[int, int, list[bytes]]:
     descriptor must cover the whole logical screen and no frame may use
     transparency (sub-rectangle / transparent frames need composition
     over the previous canvas — those raise NotImplementedError for the
-    declared stub, same policy as the exotic JPEG variants)."""
+    declared stub, same policy as the exotic JPEG variants).
+
+    Truncated/malformed payloads raise NotImplementedError (never a bare
+    struct.error/IndexError): the per-row decode dispatch in binary_ops
+    catches only NotImplementedError, so anything else would hard-fail
+    the whole Spark task instead of routing the row to the declared stub
+    (the same wrapper _jpeg_parse got — ADVICE r7)."""
+    try:
+        return _gif_parse_frames_impl(payload)
+    except NotImplementedError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise NotImplementedError(f"gif: malformed payload ({e})") from e
+
+
+def _gif_parse_frames_impl(payload: bytes | None) -> tuple[int, int, list[bytes]]:
     if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("gif: bad signature")
     if len(payload) < 13:
@@ -117,10 +132,13 @@ def gif_parse_frames(payload: bytes | None) -> tuple[int, int, list[bytes]]:
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise NotImplementedError("gif: truncated global color table")
         pos += 3 * n
 
     frames: list[tuple[int, int, bytes]] = []
     transparent_next = False
+    first_frame_transparent = False
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -150,13 +168,21 @@ def gif_parse_frames(payload: bytes | None) -> tuple[int, int, list[bytes]]:
             # canvas — out of scope, declared stub)
             if (left, top, w, h) != (0, 0, sw, sh) or frames[0][:2] != (sw, sh):
                 raise NotImplementedError("gif: sub-rectangle animation frame")
-            if transparent_next:
+            # transparency anywhere in an ANIMATION is out of scope —
+            # including a transparent FIRST frame discovered to be part of
+            # an animation only now (ADVICE r7: frame 0 would otherwise
+            # render its transparent index as an opaque palette color)
+            if transparent_next or first_frame_transparent:
                 raise NotImplementedError("gif: transparent animation frame")
+        else:
+            first_frame_transparent = transparent_next
         transparent_next = False
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
             ct = payload[pos : pos + 3 * n]
+            if len(ct) != 3 * n:
+                raise NotImplementedError("gif: truncated local color table")
             pos += 3 * n
         if ct is None:
             raise NotImplementedError("gif: no color table")

@@ -58,6 +58,10 @@ def pagerank_fixed_point(
     sym = symmetrize(edges, src, dst).localCheckpoint()
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty (or all-self-loop) edge set: no nodes to rank — return an
+        # empty frame instead of dividing by zero (ADVICE r7)
+        return deg.select("node", F.lit(None).cast("long").alias("rank_int"))
     r0 = scale // n_nodes
     base = (scale // n_nodes) * 15 // 100
 

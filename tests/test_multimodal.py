@@ -1079,3 +1079,66 @@ class TestAnimatedGif:
                 for idx in range(0, n, 5):
                     want = hashlib.sha256(p + idx.to_bytes(4, "big")).hexdigest()
                     assert got[(aid, idx)] == want
+
+
+def test_gif_malformed_payload_raises_not_implemented():
+    """ADVICE r7: truncated/garbled GIF bytes must surface as
+    NotImplementedError (the stub-routing signal the per-row dispatch
+    catches), never a bare struct.error/IndexError that would hard-fail
+    the Spark task."""
+    import pytest
+
+    from bioie_llm_spark.multimodal.gif_codec import gif_encode, gif_parse_frames
+
+    good = gif_encode(4, 3, bytes(range(36)))
+    # a truncated payload either raises NotImplementedError (stub route)
+    # or still decodes a complete prefix (e.g. missing trailer after a
+    # full image block) — any OTHER exception class is the task-killing
+    # bug this guards against
+    for cut in range(0, len(good)):
+        try:
+            gif_parse_frames(good[:cut])
+        except NotImplementedError:
+            pass
+    # garbled interior bytes (bad signature/labels/sizes): same contract
+    for i in range(6, min(len(good), 40)):
+        bad = bytearray(good)
+        bad[i] ^= 0xFF
+        try:
+            gif_parse_frames(bytes(bad))
+        except NotImplementedError:
+            pass  # the only acceptable failure mode
+    # and at least the header truncations must actually stub-route
+    with pytest.raises(NotImplementedError):
+        gif_parse_frames(good[:8])
+
+
+def test_gif_transparent_first_frame_animation_rejected():
+    """ADVICE r7: an animation whose FIRST frame carries the transparency
+    flag must take the declared stub (previously frame 0 silently decoded
+    the transparent index as an opaque color)."""
+    import pytest
+
+    from bioie_llm_spark.multimodal.gif_codec import (
+        gif_encode_animated,
+        gif_parse_frames,
+    )
+
+    rgb = bytes(12)
+    anim = bytearray(gif_encode_animated(2, 2, [rgb, rgb]))
+    # inject a Graphic Control Extension with transparency set before the
+    # FIRST image descriptor (0x2C)
+    first_img = anim.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00])
+    patched = bytes(anim[:first_img]) + gce + bytes(anim[first_img:])
+    with pytest.raises(NotImplementedError, match="transparent"):
+        gif_parse_frames(patched)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """ADVICE r7: an empty / all-self-loop edge set must yield an empty
+    (node, rank_int) frame, not ZeroDivisionError."""
+    from bioie_llm_spark.operators.graph import pagerank_fixed_point
+
+    empty = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert pagerank_fixed_point(empty).count() == 0
